@@ -1,0 +1,444 @@
+"""Host-side Trainer: thin stateful loop around the jitted functional core.
+
+Rebuild of the reference Trainer (ref: ssi/trainer.py:128-521) with the
+TPU-first inversions from SURVEY.md §7:
+
+- All device state lives in one pytree ``{params, opt_state, step}`` threaded
+  through a single jitted ``train_step`` that consumes a whole gradient-
+  accumulation window ``[accum, batch, seq]`` per call (ref runs accum separate
+  fwd/bwd host iterations: ssi/trainer.py:377-394).
+- Distribution is a ("dp","tp") ``jax.sharding.Mesh``; the batch is dp-sharded,
+  params are tp-sharded/replicated, and XLA inserts the gradient all-reduce the
+  reference never built (SURVEY.md §2.4).
+- Checkpoint/resume keeps the reference's schema-v1 contract: ``step_N/`` HF dirs
+  + a versioned training state; resume = epoch derivation + micro-batch skip +
+  host RNG restore (ref: ssi/trainer.py:334-352, §3.5).
+
+Setup/teardown protocol is identical: ``Trainer(cfg).setup(); .train(); .cleanup()``.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+import copy
+import itertools
+import logging
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssi_tpu import __version__
+from ssi_tpu.checkpoint import Checkpointer, resolve_checkpointer_output_dir, restore_rng_states
+from ssi_tpu.constants import DEBUGGING_TAG, SEED
+from ssi_tpu.data import Loader, Sampler, setup_sft_data, setup_text_completion_data
+from ssi_tpu.models.configs import configllama3_2_1b
+from ssi_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated, shard_params
+from ssi_tpu.tokenizer import setup_llama3_tokenizer
+from ssi_tpu.train.geometry import TrainingGeometry
+from ssi_tpu.train.lr_schedule import setup_lr_schedule
+from ssi_tpu.train.metric_logging import setup_metric_logger
+from ssi_tpu.train.optimizer import AdamWConfig, init_opt_state
+from ssi_tpu.train.step import compute_dataset_loss, make_eval_step, make_train_step
+from ssi_tpu.train.train_utils import (
+    get_token_type_ranges,
+    resume_training_state,
+    validate_resume_hparams,
+    validate_train_cfg,
+)
+
+__all__ = ["Trainer"]
+
+LOGGER = logging.getLogger(__name__)
+
+_DTYPES = {"bf16": jnp.bfloat16, "fp32": jnp.float32}
+
+
+class Trainer:
+    """Stateful trainer for speech-integration experiments on TPU.
+
+    Args:
+        cfg: composed config (ssi_tpu.config.Config or any duck-typed mapping).
+    """
+
+    def __init__(self, cfg: Any) -> None:
+        self.cfg = cfg
+
+        # Components — populated by setup()
+        self.state: dict[str, Any] | None = None  # {params, opt_state, step} on device
+        self.tokenizer = None
+        self.checkpointer: Checkpointer | None = None
+        self.metric_logger = None
+        self.mesh = None
+        self.train_step = None
+        self.eval_step = None
+        self.lr_schedule = None
+
+        # Data
+        self.data_train: Loader | None = None
+        self.sampler_train: Sampler | None = None
+        self.data_dev: Loader | None = None
+        self.token_type_ranges: dict[str, tuple[int, int]] | None = None
+
+        # Geometry
+        self.geometry: TrainingGeometry | None = None
+        self.world_size: int | None = None
+
+        # Training counters (host mirrors of device state)
+        self.global_step: int = 0
+        self.consumed_samples: int = 0
+        self.tokens_train_total: int = 0
+        self.token_type_counts_total: defaultdict[str, int] = defaultdict(int)
+        self.wall_clock_offset: float = 0.0
+
+        # Timing
+        self.t_train_start: float = 0.0
+        self.t_step_start: float = 0.0
+        self._grad_norm: float | None = None
+
+        # Optional loss log for equivalence testing (ref: ssi/trainer.py:193)
+        self._loss_log: list[float] | None = None
+
+    # === Setup ===
+
+    def setup(self) -> "Trainer":
+        validate_train_cfg(self.cfg)
+        self._set_host_seed()
+        self.dtype = _DTYPES[self.cfg.dtype]
+        self.world_size = jax.process_count()
+
+        self._setup_mesh()
+        self._setup_logging()
+        self._setup_model()
+        self._setup_tokenizer()
+        self._extract_resume_state()
+        self._setup_optimizer()
+        self._setup_data()
+        self.geometry = TrainingGeometry.from_config(self.cfg, self.data_train, self.world_size)
+        self._finalize_resume()
+        self._build_steps()
+        self._resume_rng_state = self._resume_state.pop("rng_state", None) if self._resume_state else None
+        self._resume_state = None
+        return self
+
+    def _set_host_seed(self) -> None:
+        """Seed host RNGs (python + numpy). Data-order randomness is independently
+        keyed per sample/epoch, so this guards only incidental host randomness
+        (ref: torchtune training.set_seed at ssi/trainer.py:204)."""
+        import random
+
+        random.seed(SEED)
+        np.random.seed(SEED % (2**32))
+
+    def _setup_mesh(self) -> None:
+        pcfg = self.cfg.get("parallel")
+        dp = pcfg.get("dp") if pcfg is not None else None
+        tp = int(pcfg.get("tp", 1)) if pcfg is not None else 1
+        self.mesh = make_mesh(dp=dp, tp=tp)
+        LOGGER.info(f"Device mesh: dp={self.mesh.shape['dp']} tp={self.mesh.shape['tp']}")
+
+    def _setup_logging(self) -> None:
+        tags = [__version__, self.cfg.config_name]
+        if os.getenv("SLURM_JOB_QOS") == "gpu-debug":
+            tags += [DEBUGGING_TAG]
+        self.metric_logger = setup_metric_logger(self.cfg.get("wandb"), tags=tags)
+        if self.cfg.checkpointer.get("output_dir") is None:
+            self.cfg.checkpointer.output_dir = str(resolve_checkpointer_output_dir(self.cfg, self.metric_logger))
+            LOGGER.info(f"No checkpointer output dir provided. Resolved to: {self.cfg.checkpointer.output_dir}")
+        if hasattr(self.metric_logger, "set_log_dir"):
+            self.metric_logger.set_log_dir(self.cfg.checkpointer.output_dir)
+
+    def _setup_model(self) -> None:
+        self._llama_config = copy.deepcopy(configllama3_2_1b)
+        self._llama_config.update_from_speech_cfg(self.cfg.speech)
+        ckpt_cfg = {k: v for k, v in self.cfg.checkpointer.items()}
+        self.checkpointer = Checkpointer(
+            **ckpt_cfg, model_expectations=self._llama_config.checkpoint_expectations
+        )
+        host_params = self.checkpointer.load_params(self._llama_config, dtype=self.dtype)
+        params = shard_params(self.mesh, host_params)
+        self.state = {"params": params, "opt_state": None, "step": jnp.zeros((), jnp.int32)}
+
+    def _setup_tokenizer(self) -> None:
+        tok_cfg = {k: v for k, v in self.cfg.tokenizer.items()}
+        self.tokenizer, _special_tokens = setup_llama3_tokenizer(**tok_cfg)
+        self.token_type_ranges = get_token_type_ranges(llama_config=self._llama_config)
+
+    def _extract_resume_state(self) -> None:
+        self._resume_state: dict[str, Any] | None = None
+        training_state = self.checkpointer.load_training_state()
+        if training_state is not None:
+            self._resume_state = resume_training_state(training_state)
+            self.global_step = int(self._resume_state["global_step"])
+            self.consumed_samples = int(self._resume_state["consumed_samples"])
+
+    def _setup_optimizer(self) -> None:
+        self.opt_cfg = AdamWConfig.from_cfg(self.cfg.optimizer)
+        self.lr_schedule = setup_lr_schedule(self.cfg, num_training_steps=self.cfg.max_steps)
+        params = self.state["params"]
+        if self._resume_state is not None:
+            host_opt = self._resume_state["optimizer_state"]
+            p_shardings = param_shardings(self.mesh, params)
+            shardings = {
+                "mu": p_shardings,
+                "nu": p_shardings,
+                "count": replicated(self.mesh),
+            }
+            opt_state = jax.tree.map(
+                lambda x, s: jax.device_put(jnp.asarray(x), s),
+                host_opt,
+                shardings,
+                is_leaf=lambda x: isinstance(x, (np.ndarray, jnp.ndarray, int, float)),
+            )
+            self.state["opt_state"] = opt_state
+            self.state["step"] = jnp.asarray(self.global_step, jnp.int32)
+        else:
+            with self.mesh:
+                self.state["opt_state"] = jax.jit(
+                    lambda p: init_opt_state(p, self.opt_cfg),
+                    out_shardings={
+                        "mu": param_shardings(self.mesh, params),
+                        "nu": param_shardings(self.mesh, params),
+                        "count": replicated(self.mesh),
+                    },
+                )(params)
+
+    def _setup_data(self) -> None:
+        rank = jax.process_index()
+        if self.cfg.config_name == "sft":
+            self.data_train, self.sampler_train = setup_sft_data(
+                self.cfg.data.train, self.tokenizer, num_replicas=self.world_size, rank=rank
+            )
+            self.data_dev, _ = setup_sft_data(
+                self.cfg.data.dev, self.tokenizer, num_replicas=self.world_size, rank=rank
+            )
+        elif self.cfg.config_name == "cpt":
+            self.data_train, self.sampler_train = setup_text_completion_data(
+                self.cfg.data.train, self.tokenizer, num_replicas=self.world_size, rank=rank
+            )
+            self.data_dev, _ = setup_text_completion_data(
+                self.cfg.data.dev, self.tokenizer, num_replicas=self.world_size, rank=rank
+            )
+        else:
+            raise NotImplementedError(f"Unsupported config_name: {self.cfg.config_name}")
+
+    def _finalize_resume(self) -> None:
+        if self._resume_state is None:
+            return
+        cm = self._resume_state["cumulative_metrics"]
+        self.tokens_train_total = int(cm["tokens_train_total"])
+        for k, v in cm["token_type_counts"].items():
+            self.token_type_counts_total[k] = int(v)
+        self.wall_clock_offset = float(cm["wall_clock_seconds"])
+        validate_resume_hparams(
+            ckpt_hparams=self._resume_state["training_hparams"],
+            current_hparams=self._current_hparams(),
+            force_resume=bool(self.cfg.get("force_resume", False)),
+        )
+
+    def _current_hparams(self) -> dict[str, Any]:
+        return {
+            "batch_size": self.geometry.batch_size,
+            "gradient_accumulation_steps": self.cfg.gradient_accumulation_steps,
+            "world_size": self.world_size,
+            "steps_per_epoch": self.geometry.steps_per_epoch,
+        }
+
+    def _build_steps(self) -> None:
+        attn_impl = self.cfg.get("attn_impl", "auto")
+        chunk_size = int(self.cfg.get("loss_chunk_size", 1024))
+        self.train_step = make_train_step(
+            self._llama_config,
+            self.opt_cfg,
+            self.lr_schedule,
+            clip_grad_norm=self.cfg.get("clip_grad_norm"),
+            token_type_ranges=self.token_type_ranges,
+            pad_id=self.tokenizer.pad_id,
+            attn_impl=attn_impl,
+            remat=bool(self.cfg.get("remat", True)),
+            chunk_size=chunk_size,
+        )
+        self.eval_step = make_eval_step(self._llama_config, attn_impl=attn_impl, chunk_size=chunk_size)
+        self._batch_sharding = batch_sharding(self.mesh, accum_axis=True)
+        self._eval_sharding = batch_sharding(self.mesh, accum_axis=False)
+
+    # === Training ===
+
+    def train(self) -> None:
+        self.t_train_start = time.perf_counter()
+        self.t_step_start = time.perf_counter()
+
+        epochs_run = self.global_step // self.geometry.steps_per_epoch
+        batches_to_skip = (self.global_step % self.geometry.steps_per_epoch) * self.cfg.gradient_accumulation_steps
+
+        if getattr(self, "_resume_rng_state", None) is not None:
+            restore_rng_states(self._resume_rng_state)
+            LOGGER.info("Restored framework RNG states from checkpoint.")
+            self._resume_rng_state = None
+
+        from ssi_tpu.config import to_yaml
+
+        LOGGER.info(to_yaml(self.cfg, resolve=True))
+        self.metric_logger.log_config(self.cfg, checkpoint_dir=self.cfg.checkpointer.output_dir)
+
+        for epoch in range(epochs_run, self.geometry.n_epochs):
+            self._train_epoch(epoch, batches_to_skip if epoch == epochs_run else 0)
+            if self.global_step >= self.cfg.max_steps:
+                LOGGER.info("Training completed.")
+                return
+
+    def _train_epoch(self, epoch: int, batches_to_skip: int = 0) -> None:
+        if self.sampler_train is not None:
+            self.sampler_train.set_epoch(epoch)
+        if hasattr(self.data_train.dataset, "set_epoch"):
+            self.data_train.dataset.set_epoch(epoch)
+
+        if batches_to_skip > 0:
+            LOGGER.info(f"Resuming: skipping {batches_to_skip} batches in epoch {epoch}")
+        data_iter = itertools.islice(enumerate(self.data_train), batches_to_skip, self.geometry.usable_batches)
+
+        accum = self.cfg.gradient_accumulation_steps
+        window: list[dict[str, Any]] = []
+        for i, batch in data_iter:
+            window.append(batch)
+            if len(window) == accum:
+                self._optimizer_step(epoch, i, window)
+                window = []
+                if self.global_step >= self.cfg.max_steps:
+                    return
+
+    def _stack_window(self, window: list[dict[str, Any]]) -> tuple[np.ndarray, np.ndarray]:
+        """Stack accumulation-window micro-batches to [A, B, S] (pad to window max)."""
+        s_max = max(b["tokens"].shape[1] for b in window)
+        pad_id = self.tokenizer.pad_id
+        from ssi_tpu.constants import CROSS_ENTROPY_IGNORE_IDX
+
+        def pad_to(arr: np.ndarray, value: int) -> np.ndarray:
+            if arr.shape[1] == s_max:
+                return arr
+            out = np.full((arr.shape[0], s_max), value, dtype=arr.dtype)
+            out[:, : arr.shape[1]] = arr
+            return out
+
+        tokens = np.stack([pad_to(b["tokens"], pad_id) for b in window])
+        labels = np.stack([pad_to(b["labels"], CROSS_ENTROPY_IGNORE_IDX) for b in window])
+        return tokens, labels
+
+    def _optimizer_step(self, epoch: int, iter_idx: int, window: list[dict[str, Any]]) -> None:
+        tokens, labels = self._stack_window(window)
+        tokens = jax.device_put(tokens, self._batch_sharding)
+        labels = jax.device_put(labels, self._batch_sharding)
+        self.state, metrics = self.train_step(self.state, tokens, labels)
+
+        # Host sync point (one per optimizer step)
+        loss_sum = float(metrics["loss_sum"])
+        num_tokens_step = int(metrics["num_tokens"])
+        applied = bool(metrics["applied"])
+        self._grad_norm = float(metrics["grad_norm"])
+        self._last_lr = float(metrics["lr"])
+        if "token_counts" in metrics:
+            for tt, cnt in metrics["token_counts"].items():
+                self.token_type_counts_total[tt] += int(cnt)
+
+        if not applied:
+            LOGGER.warning("No non-ignored tokens in accumulation window; skipping optimizer step.")
+            self.t_step_start = time.perf_counter()
+            return
+
+        self.global_step += 1
+        self.consumed_samples += self.cfg.gradient_accumulation_steps * self.geometry.batch_size * self.world_size
+        loss_to_log = loss_sum / num_tokens_step
+        self.tokens_train_total += num_tokens_step
+        self._num_tokens_step = num_tokens_step
+        self._max_seq_len_step = tokens.shape[-1]
+
+        if self._loss_log is not None:
+            self._loss_log.append(loss_to_log)
+
+        self._log_metrics(epoch, iter_idx, loss_to_log)
+        self.t_step_start = time.perf_counter()
+        self._maybe_save_checkpoint()
+
+    def _evaluate(self) -> float:
+        def put_batch(batch):
+            return (
+                jax.device_put(batch["tokens"], self._eval_sharding),
+                jax.device_put(batch["labels"], self._eval_sharding),
+            )
+
+        return compute_dataset_loss(
+            self.eval_step, self.state["params"], self.data_dev, put_batch=put_batch, log_every=10
+        )
+
+    def _log_metrics(self, epoch: int, iter_idx: int, loss_to_log: float) -> None:
+        LOGGER.info(
+            " | ".join(
+                (
+                    f"Epoch {epoch + 1:03d}",
+                    f"Iteration {iter_idx:0{len(str(self.geometry.batches_per_epoch))}d}"
+                    f" / {self.geometry.batches_per_epoch}",
+                    f"Global Step {self.global_step}",
+                    f"Loss: {loss_to_log:.4f}",
+                    f"Tokens (num_tokens_step): {self._num_tokens_step}",
+                )
+            )
+        )
+
+        if self.global_step % self.cfg.eval_steps == 0:
+            dev_loss = self._evaluate()
+        else:
+            dev_loss = None
+
+        if self.global_step % self.cfg.log_interval == 0:
+            dur_step = time.perf_counter() - self.t_step_start
+            n_chips = self.mesh.devices.size
+            log_dict = {
+                "loss": loss_to_log,
+                "lr": self._last_lr,
+                "duration_step": dur_step,
+                "tokens_per_second_per_gpu": self._num_tokens_step / dur_step / n_chips,
+                "tokens_total": self.tokens_train_total,
+                "train_clock_time": (self.wall_clock_offset + (time.perf_counter() - self.t_train_start)) / (60**2),
+                "max_seq_len_step": self._max_seq_len_step,
+                **{f"n_tokens.{tt}": ttcnt for tt, ttcnt in self.token_type_counts_total.items()},
+            }
+            if self.cfg.get("clip_grad_norm") is not None:
+                log_dict.update({"grad_norm": self._grad_norm})
+            if dev_loss is not None:
+                log_dict.update({"dev_loss": dev_loss})
+            self.metric_logger.log_dict(log_dict, step=self.global_step)
+
+    def _maybe_save_checkpoint(self) -> None:
+        if self.global_step != 0 and self.global_step % self.cfg.save_steps == 0:
+            self.save_checkpoint()
+            LOGGER.info(f"Checkpoint saved at step {self.global_step}")
+
+    # === Checkpointing ===
+
+    def save_checkpoint(self) -> None:
+        """Save HF-format model weights + schema-v1 training state
+        (ref: ssi/trainer.py:494-514)."""
+        self.checkpointer.save_model_checkpoint(self.state["params"], self._llama_config, self.global_step)
+        host_opt = jax.device_get(self.state["opt_state"])
+        self.checkpointer.save_training_state(
+            optimizer_state=host_opt,
+            lr_scheduler_state={"last_step": self.global_step},
+            global_step=self.global_step,
+            seed=SEED,
+            training_hparams=self._current_hparams(),
+            consumed_samples=self.consumed_samples,
+            cumulative_metrics={
+                "tokens_train_total": self.tokens_train_total,
+                "token_type_counts": dict(self.token_type_counts_total),
+                "wall_clock_seconds": self.wall_clock_offset + (time.perf_counter() - self.t_train_start),
+            },
+        )
+
+    # === Cleanup ===
+
+    def cleanup(self) -> None:
+        if self.metric_logger is not None:
+            self.metric_logger.close()
