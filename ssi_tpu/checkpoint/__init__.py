@@ -298,27 +298,28 @@ class Checkpointer:
     # -- load ------------------------------------------------------------------
 
     def load_hf_state_dict(self) -> dict[str, Any]:
-        """Load and merge shards into a flat HF state dict of host jax arrays."""
+        """Load and merge shards into a flat HF state dict of host numpy arrays."""
         from safetensors import safe_open
 
         self._weight_map = {}
         merged: dict[str, Any] = {}
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            for cpt_idx, cpt_path in enumerate(self._checkpoint_paths):
-                with safe_open(str(cpt_path), framework="flax") as f:
-                    for key in f.keys():
-                        merged[key] = f.get_tensor(key)
-                        self._weight_map[key] = f"{cpt_idx + 1:04}"
+        for cpt_idx, cpt_path in enumerate(self._checkpoint_paths):
+            with safe_open(str(cpt_path), framework="np") as f:
+                for key in f.keys():
+                    merged[key] = f.get_tensor(key)
+                    self._weight_map[key] = f"{cpt_idx + 1:04}"
         return merged
 
     def load_params(self, cfg: ConfigLlama3_2, dtype=jnp.bfloat16) -> dict[str, Any]:
-        """Load checkpoint into the stacked internal pytree (host memory)."""
+        """Load checkpoint into the stacked internal pytree (host numpy memory).
+
+        Stays off-device entirely; the caller places the pytree on the mesh
+        (ssi_tpu.parallel.shard_params) with a single device_put per leaf.
+        """
         hf_state = self.load_hf_state_dict()
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            params = hf_to_internal(hf_state, cfg, xp=jnp)
-            params = jax.tree.map(lambda x: x.astype(dtype), params)
+        params = hf_to_internal(hf_state, cfg, xp=np)
+        np_dtype = np.dtype(dtype)  # jnp scalar types (incl. bfloat16 via ml_dtypes) and strings both resolve
+        params = jax.tree.map(lambda x: np.ascontiguousarray(x.astype(np_dtype)), params)
         emb = params["embed"]
         if emb.shape[0] != cfg.vocab_size:
             raise ValueError(
@@ -335,8 +336,13 @@ class Checkpointer:
     # -- save ------------------------------------------------------------------
 
     def save_full_model(self, params: dict[str, Any], cfg: ConfigLlama3_2, output_dir: Path) -> None:
-        """Write sharded HF-format safetensors + index (ref: ssi/checkpoint.py:339-410)."""
-        from safetensors.flax import save_file
+        """Write sharded HF-format safetensors + index (ref: ssi/checkpoint.py:339-410).
+
+        Serialization is host-side via safetensors.numpy — no device round-trip
+        (safetensors.flax would re-place host arrays on the accelerator, which is
+        both wasteful and corrupts non-contiguous layouts on the axon platform).
+        """
+        from safetensors.numpy import save_file
 
         if self._weight_map is None:
             raise ValueError("Weight map is not initialized. Please load a checkpoint before saving.")
@@ -357,8 +363,8 @@ class Checkpointer:
             shard_name = SHARD_FNAME.format(cpt_idx=str(cpt_idx).zfill(5), num_shards=str(num_shards).zfill(5))
             name_map[cpt_idx] = shard_name
             output_path = output_dir / (shard_name + ".safetensors")
-            shard_jax = {k: jnp.asarray(v) for k, v in shard.items()}
-            save_file(shard_jax, str(output_path), metadata={"format": "pt"})
+            shard_np = {k: np.ascontiguousarray(np.asarray(v)) for k, v in shard.items()}
+            save_file(shard_np, str(output_path), metadata={"format": "pt"})
             LOGGER.info(
                 f"Model checkpoint of size {os.path.getsize(output_path) / 1024**3:.2f} GiB saved to {output_path}"
             )

@@ -117,3 +117,34 @@ configllama3_2_3b = ConfigLlama3_2(
     rope_base=500_000,
     scale_factor=32,
 )
+
+# Tiny architecture for CPU tests and CI smoke runs (not a reference model).
+config_tiny_test = ConfigLlama3_2(
+    base_vocab_size_txt=256,
+    n_special_txt=256,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    embed_dim=64,
+    max_seq_len=2048,
+    intermediate_dim=128,
+    attn_dropout=0.0,
+    norm_eps=1e-5,
+    rope_base=500_000,
+    scale_factor=32,
+)
+
+# Registry keyed by the `model_config` config field; the reference hardcodes the 1B
+# factory (ref: ssi/trainer.py:240) — a registry keeps tests and future models first-class.
+MODEL_CONFIGS: dict[str, ConfigLlama3_2] = {
+    "llama3_2_1b": configllama3_2_1b,
+    "llama3_2_3b": configllama3_2_3b,
+    "tiny_test": config_tiny_test,
+}
+
+
+def get_model_config(name: str) -> ConfigLlama3_2:
+    try:
+        return MODEL_CONFIGS[name]
+    except KeyError:
+        raise KeyError(f"Unknown model_config {name!r}. Available: {sorted(MODEL_CONFIGS)}") from None

@@ -35,7 +35,7 @@ from ssi_tpu import __version__
 from ssi_tpu.checkpoint import Checkpointer, resolve_checkpointer_output_dir, restore_rng_states
 from ssi_tpu.constants import DEBUGGING_TAG, SEED
 from ssi_tpu.data import Loader, Sampler, setup_sft_data, setup_text_completion_data
-from ssi_tpu.models.configs import configllama3_2_1b
+from ssi_tpu.models.configs import get_model_config
 from ssi_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated, shard_params
 from ssi_tpu.tokenizer import setup_llama3_tokenizer
 from ssi_tpu.train.geometry import TrainingGeometry
@@ -152,7 +152,7 @@ class Trainer:
             self.metric_logger.set_log_dir(self.cfg.checkpointer.output_dir)
 
     def _setup_model(self) -> None:
-        self._llama_config = copy.deepcopy(configllama3_2_1b)
+        self._llama_config = copy.deepcopy(get_model_config(self.cfg.get("model_config", "llama3_2_1b")))
         self._llama_config.update_from_speech_cfg(self.cfg.speech)
         ckpt_cfg = {k: v for k, v in self.cfg.checkpointer.items()}
         self.checkpointer = Checkpointer(
@@ -248,6 +248,12 @@ class Trainer:
         }
 
     def _build_steps(self) -> None:
+        dp = self.mesh.shape["dp"]
+        if self.geometry.batch_size % dp != 0:
+            raise ValueError(
+                f"Per-process batch_size ({self.geometry.batch_size}) must be divisible by the "
+                f"data-parallel mesh size (dp={dp}) so every device gets an equal batch shard."
+            )
         attn_impl = self.cfg.get("attn_impl", "auto")
         chunk_size = int(self.cfg.get("loss_chunk_size", 1024))
         self.train_step = make_train_step(

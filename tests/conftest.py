@@ -1,0 +1,70 @@
+"""Test fixtures.
+
+Forces JAX onto a virtual 8-device CPU platform (before any jax import) so the
+sharding/mesh paths run without TPU hardware — the analog of the reference's
+CPU-only CI (ref: .github/workflows/tests.yml:9-24). Set SSI_TPU_TESTS_ON_TPU=1
+to run against real devices instead.
+"""
+
+import os
+
+if not os.environ.get("SSI_TPU_TESTS_ON_TPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # jaxtyping's pytest plugin imports jax before this conftest runs, freezing the
+    # platform config from the original environment — env vars alone are too late.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+from tests import helpers  # noqa: E402
+
+
+@pytest.fixture()
+def tiny_tokenizer_path(tmp_path):
+    path = tmp_path / "tokenizer.model"
+    helpers.write_tiny_tokenizer(path)
+    return path
+
+
+@pytest.fixture()
+def tiny_extended_tokenizer_path(tmp_path):
+    """256-byte base vocab extended with 16 DSU + 2 modality tokens (vocab 274+256)."""
+    from ssi_tpu.extend import extend_tiktoken
+
+    path = tmp_path / "tokenizer.model"
+    helpers.write_tiny_tokenizer(path)
+    extend_tiktoken(16, True, path, path)
+    return path
+
+
+@pytest.fixture()
+def tiny_model_dir(tmp_path):
+    """Self-contained tiny extended HF model dir (weights + configs + tokenizer)."""
+    return helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+
+
+@pytest.fixture()
+def synthetic_data(monkeypatch):
+    """Patch HF dataset loading with synthetic aligned speech-text rows."""
+    import datasets as hfd
+
+    import ssi_tpu.data as data_mod
+
+    cpt_rows = helpers.synthetic_cpt_rows(64)
+    sft_rows = helpers.synthetic_sft_rows(64)
+
+    def fake_load(source, **kw):
+        rows = sft_rows if "sft" in str(source) else cpt_rows
+        return hfd.Dataset.from_list(rows)
+
+    def fake_subset(source, n_samples, **kw):
+        rows = sft_rows if "sft" in str(source) else cpt_rows
+        return hfd.Dataset.from_list(rows[:n_samples])
+
+    monkeypatch.setattr(data_mod, "load_hf_dataset", fake_load)
+    monkeypatch.setattr(data_mod, "load_dataset_subset", fake_subset)
+    return {"cpt": cpt_rows, "sft": sft_rows}

@@ -1,0 +1,128 @@
+"""Resume equivalence — the crown jewel (ref: tests/test_resume_equivalence.py:1-354).
+
+A full N-step run and an interrupted run (N/2 steps -> save -> fresh Trainer resumed
+from the training state) must produce **bitwise-identical** per-step losses and
+identical non-timing metrics. fp32 on CPU; XLA reductions are deterministic for a
+fixed program, so exact float equality is the contract, as in the reference.
+"""
+
+import numpy as np
+import pytest
+
+from tests import helpers
+
+TOTAL_STEPS = 8
+HALF_STEPS = 4
+
+TIMING_KEYS = {"duration_step", "tokens_per_second_per_gpu", "train_clock_time"}
+
+
+def run_trainer(model_dir, ckpt_dir, max_steps, training_state=None, save_steps=HALF_STEPS):
+    from ssi_tpu.train import Trainer
+
+    cfg_dict = helpers.base_train_cfg_dict(model_dir, ckpt_dir, kind="sft")
+    cfg_dict["max_steps"] = max_steps
+    cfg_dict["save_steps"] = save_steps
+    cfg_dict["eval_steps"] = save_steps
+    # Constant LR: a cosine schedule depends on max_steps, which differs between the
+    # full and interrupted runs (same choice as ref: tests/test_resume_equivalence.py:128).
+    cfg_dict["lr_scheduler"] = None
+    if training_state is not None:
+        cfg_dict["checkpointer"]["training_state_checkpoint"] = str(training_state)
+    t = Trainer(helpers.make_cfg(cfg_dict))
+    t.setup()
+    losses = []
+    t._loss_log = losses
+    t.train()
+    history = list(t.metric_logger.history)
+    t.cleanup()
+    return t, losses, history
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    return helpers.make_tiny_hf_checkpoint(tmp_path_factory.mktemp("model") / "m")
+
+
+def _patch_data(monkeypatch):
+    import datasets as hfd
+
+    import ssi_tpu.data as data_mod
+
+    sft_rows = helpers.synthetic_sft_rows(64)
+    monkeypatch.setattr(data_mod, "load_hf_dataset", lambda source, **kw: hfd.Dataset.from_list(sft_rows))
+
+
+def test_resume_equivalence_bitwise(model_dir, tmp_path, monkeypatch):
+    _patch_data(monkeypatch)
+
+    # Full uninterrupted run
+    _, losses_full, history_full = run_trainer(model_dir, tmp_path / "full", TOTAL_STEPS)
+    assert len(losses_full) == TOTAL_STEPS
+
+    # Interrupted run: first half...
+    _, losses_a, history_a = run_trainer(model_dir, tmp_path / "int", HALF_STEPS)
+    assert len(losses_a) == HALF_STEPS
+    state_path = tmp_path / "int" / "training_state.msgpack"
+    assert state_path.is_file()
+
+    # ...then resume from step_4 weights + training state.
+    t2, losses_b, history_b = run_trainer(
+        model_dir=tmp_path / "int" / f"step_{HALF_STEPS}",
+        ckpt_dir=tmp_path / "resumed",
+        max_steps=TOTAL_STEPS,
+        training_state=state_path,
+    )
+    assert t2.global_step == TOTAL_STEPS
+    assert len(losses_b) == TOTAL_STEPS - HALF_STEPS
+
+    # Exact float equality of the per-step loss stream (ref: :292-297)
+    combined = losses_a + losses_b
+    assert combined == losses_full, (
+        f"Loss streams diverge:\nfull    ={losses_full}\ncombined={combined}"
+    )
+
+    # All non-timing metrics identical (ref: :349-354)
+    merged = {r["step"]: r for r in history_a + history_b}
+    for rec in history_full:
+        res = merged[rec["step"]]
+        for k, v in rec.items():
+            if k in TIMING_KEYS:
+                continue
+            assert res[k] == v, f"metric {k} diverges at step {rec['step']}: {res[k]} != {v}"
+
+
+def test_resume_validates_hparams(model_dir, tmp_path, monkeypatch):
+    """Changing batch geometry on resume must be refused (ref: ssi/train_utils.py:110-126)."""
+    from ssi_tpu.train import Trainer
+
+    _patch_data(monkeypatch)
+    run_trainer(model_dir, tmp_path / "a", HALF_STEPS)
+    cfg_dict = helpers.base_train_cfg_dict(tmp_path / "a" / f"step_{HALF_STEPS}", tmp_path / "b", kind="sft")
+    cfg_dict["checkpointer"]["training_state_checkpoint"] = str(tmp_path / "a" / "training_state.msgpack")
+    cfg_dict["gradient_accumulation_steps"] = 4  # was 2
+    cfg_dict["max_steps"] = TOTAL_STEPS
+    t = Trainer(helpers.make_cfg(cfg_dict))
+    with pytest.raises(ValueError, match="hparam mismatch"):
+        t.setup()
+
+    # force_resume downgrades to a warning
+    cfg_dict["force_resume"] = True
+    t2 = Trainer(helpers.make_cfg(cfg_dict))
+    t2.setup()
+    t2.cleanup()
+
+
+def test_resume_consumed_samples_and_counters(model_dir, tmp_path, monkeypatch):
+    _patch_data(monkeypatch)
+    t1, _, _ = run_trainer(model_dir, tmp_path / "x", HALF_STEPS)
+    t2, _, _ = run_trainer(
+        model_dir=tmp_path / "x" / f"step_{HALF_STEPS}",
+        ckpt_dir=tmp_path / "y",
+        max_steps=TOTAL_STEPS,
+        training_state=tmp_path / "x" / "training_state.msgpack",
+    )
+    t_full, _, _ = run_trainer(model_dir, tmp_path / "z", TOTAL_STEPS)
+    assert t2.consumed_samples == t_full.consumed_samples
+    assert t2.tokens_train_total == t_full.tokens_train_total
+    assert dict(t2.token_type_counts_total) == dict(t_full.token_type_counts_total)
