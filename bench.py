@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Headline benchmark: Llama-3.2-1B CPT training throughput on TPU.
+
+Measures the reference's own headline metric — ``tokens_per_second_per_gpu``
+(non-ignored label tokens per optimizer-step wall second; ref: ssi/trainer.py:467) —
+for the extended-vocab 1B model at the CPT shape (batch 16, seq 768, bf16,
+n_dsus=5000 -> vocab 133258).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no number (BASELINE.md). We use an engineering
+estimate of 1x A6000 torch-eager throughput for this exact workload:
+~6,000 tokens/s (A6000 ~155 bf16 TFLOP/s at ~30% eager-mode MFU over the ~7.4
+GFLOPs/token fwd+bwd of a 1.24B decoder + 133k-vocab CE). The driver target is
+2x A6000, i.e. vs_baseline is reported against 12,000 tokens/s.
+"""
+
+import json
+import os
+import time
+
+import jax
+
+# Persistent XLA compilation cache: first run pays the ~2-8 min remote compile,
+# subsequent bench invocations start in seconds.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_TOKENS_PER_SEC = 12_000.0  # 2x estimated A6000 eager throughput (see docstring)
+
+BATCH = 16
+SEQ = 768
+ACCUM = 1
+WARMUP = 3
+STEPS = 10
+
+
+def main() -> None:
+    from ssi_tpu.models.configs import configllama3_2_1b
+    from ssi_tpu.models.llama3 import init_params
+    from ssi_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated, shard_params
+    from ssi_tpu.train.lr_schedule import cosine_schedule_with_warmup
+    from ssi_tpu.train.optimizer import AdamWConfig, init_opt_state
+    from ssi_tpu.train.step import make_train_step
+
+    cfg = configllama3_2_1b.copy()
+    cfg.n_dsus = 5000
+    cfg.modality_tokens = True
+
+    mesh = make_mesh(tp=1)
+    n_chips = mesh.devices.size
+
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    params = shard_params(mesh, params)
+    opt_cfg = AdamWConfig(mu_dtype=jnp.bfloat16, nu_dtype=jnp.float32)
+    opt_state = jax.jit(
+        lambda p: init_opt_state(p, opt_cfg),
+        out_shardings={
+            "mu": param_shardings(mesh, params),
+            "nu": param_shardings(mesh, params),
+            "count": replicated(mesh),
+        },
+    )(params)
+    state = {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+
+    schedule = cosine_schedule_with_warmup(2e-4, 1000, 100_000)
+    step = make_train_step(cfg, opt_cfg, schedule, clip_grad_norm=None, chunk_size=1024)
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, (ACCUM, BATCH, SEQ)).astype(np.int32)
+    labels = tokens.copy()
+    bsh = batch_sharding(mesh)
+    tokens_d = jax.device_put(tokens, bsh)
+    labels_d = jax.device_put(labels, bsh)
+
+    # num non-ignored label tokens per step: shift drops the last position per row
+    tokens_per_step = ACCUM * BATCH * (SEQ - 1)
+
+    # Per-step host sync via float(): block_until_ready alone does not reliably
+    # drain the async queue through the axon remote-TPU tunnel.
+    for _ in range(WARMUP):
+        state, metrics = step(state, tokens_d, labels_d)
+        float(metrics["loss_sum"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, tokens_d, labels_d)
+        float(metrics["loss_sum"])
+    dt = time.perf_counter() - t0
+
+    tokens_per_sec_per_chip = tokens_per_step * STEPS / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_tokens_per_second_per_chip_1b_cpt",
+                "value": round(tokens_per_sec_per_chip, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(tokens_per_sec_per_chip / BASELINE_TOKENS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

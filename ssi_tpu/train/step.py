@@ -106,17 +106,23 @@ def make_train_step(
     def train_step(state: TrainState, tokens: jnp.ndarray, labels: jnp.ndarray):
         params = state["params"]
 
-        def micro(carry, xs):
-            g_acc, loss_acc, ntok_acc = carry
-            tk, lb = xs
-            (loss_sum, num_tokens), grads = grad_fn(params, tk, lb)
-            g_acc = jax.tree.map(lambda a, g: a + g.astype(grad_accum_dtype), g_acc, grads)
-            return (g_acc, loss_acc + loss_sum, ntok_acc + num_tokens), None
+        if tokens.shape[0] == 1:
+            # No accumulation: skip the fp32 accumulator buffer entirely (grads stay
+            # in param dtype — 2x less HBM for the single-window case).
+            (loss_sum, num_tokens), grads = grad_fn(params, tokens[0], labels[0])
+        else:
 
-        g_init = jax.tree.map(lambda p: jnp.zeros(p.shape, grad_accum_dtype), params)
-        (grads, loss_sum, num_tokens), _ = jax.lax.scan(
-            micro, (g_init, jnp.float32(0.0), jnp.int32(0)), (tokens, labels)
-        )
+            def micro(carry, xs):
+                g_acc, loss_acc, ntok_acc = carry
+                tk, lb = xs
+                (loss_sum, num_tokens), g = grad_fn(params, tk, lb)
+                g_acc = jax.tree.map(lambda a, gg: a + gg.astype(grad_accum_dtype), g_acc, g)
+                return (g_acc, loss_acc + loss_sum, ntok_acc + num_tokens), None
+
+            g_init = jax.tree.map(lambda p: jnp.zeros(p.shape, grad_accum_dtype), params)
+            (grads, loss_sum, num_tokens), _ = jax.lax.scan(
+                micro, (g_init, jnp.float32(0.0), jnp.int32(0)), (tokens, labels)
+            )
 
         # Scale by 1/num_tokens_step (ref: ssi/trainer.py:404); guard div-by-zero.
         denom = jnp.maximum(num_tokens, 1).astype(jnp.float32)
@@ -128,13 +134,26 @@ def make_train_step(
             grad_norm = jnp.float32(jnp.nan)
 
         lr = lr_schedule(state["step"])
-        new_params, new_opt_state = adamw_update(grads, state["opt_state"], params, lr, opt_cfg)
 
         # Zero-token window: no update, no step advance (ref: ssi/trainer.py:399-402).
+        # lax.cond (not where-selects) so the skip path costs no HBM traffic over the
+        # ~12.5 GB of param + optimizer state.
         applied = num_tokens > 0
+
+        def do_update(operand):
+            grads_, opt_state_, params_ = operand
+            return adamw_update(grads_, opt_state_, params_, lr, opt_cfg)
+
+        def skip_update(operand):
+            _, opt_state_, params_ = operand
+            return params_, opt_state_
+
+        new_params, new_opt_state = jax.lax.cond(
+            applied, do_update, skip_update, (grads, state["opt_state"], params)
+        )
         new_state = {
-            "params": jax.tree.map(lambda n, o: jnp.where(applied, n, o), new_params, params),
-            "opt_state": jax.tree.map(lambda n, o: jnp.where(applied, n, o), new_opt_state, state["opt_state"]),
+            "params": new_params,
+            "opt_state": new_opt_state,
             "step": state["step"] + applied.astype(jnp.int32),
         }
 
