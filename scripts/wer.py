@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Word Error Rate from model generations (ref: scripts/wer.py:30-78).
+
+First-party WER + transformers' vendored Whisper English normalizer (the
+reference's jiwer/evaluate + whisper_normalizer stack is not a dependency here).
+"""
+
+from argparse import ArgumentParser, Namespace
+import json
+import logging
+import os
+from pathlib import Path
+from pprint import pformat
+import sys
+
+from ssi_tpu.constants import SUPPORTED_DATASETS
+from ssi_tpu.eval import english_normalizer, word_error_rate
+from ssi_tpu.utils import extract_texts_from_generations_jsonl, ref_from_hf_dataset
+
+logging.basicConfig(
+    format="[%(asctime)s][%(name)s][%(levelname)s] - %(message)s",
+    level=os.environ.get("LOG_LEVEL", "INFO").upper(),
+    stream=sys.stdout,
+    force=True,
+)
+
+LOGGER = logging.getLogger(__name__)
+
+
+def parse_args() -> Namespace:
+    parser = ArgumentParser(description="Calculate Word Error Rate (WER) from model generations.")
+    parser.add_argument("generations_jsonl", type=Path, help="Path to the JSON lines file with generations.")
+    parser.add_argument("--dataset", type=str, help="Hugging Face dataset for reference transcripts.")
+    parser.add_argument("--split", type=str, help="Hugging Face dataset split for reference transcripts.")
+    parser.add_argument(
+        "--gt_transcript_colname",
+        type=str,
+        default="transcript",
+        help="Column name for ground truth transcripts in the dataset.",
+    )
+    parser.add_argument("--normalizer", type=str, default="whisper", choices=["whisper", "none"], help="Text normalizer.")
+    return parser.parse_args()
+
+
+def main(args: Namespace) -> None:
+    wer_json = args.generations_jsonl.parent / "wer.json"
+    if wer_json.exists():
+        with open(wer_json) as f:
+            _wer_json_contents = pformat(json.load(f))
+        raise FileExistsError(f"Output WER JSON already exists: {wer_json} with contents: " + _wer_json_contents)
+    if args.dataset is None:
+        args.dataset = args.generations_jsonl.parents[1].name
+        assert args.dataset.split("-")[0] in SUPPORTED_DATASETS
+        LOGGER.info(f"Inferred dataset from path: {args.dataset}")
+    if args.split is None:
+        args.split = args.generations_jsonl.parent.name
+        LOGGER.info(f"Inferred split from path: {args.split}")
+    generated = extract_texts_from_generations_jsonl(args.generations_jsonl)
+    reference = ref_from_hf_dataset(args.dataset, args.split, args.gt_transcript_colname)
+    if args.normalizer == "whisper":
+        normalize = english_normalizer()
+        generated = [normalize(text) for text in generated]
+        reference = [normalize(text) for text in reference]
+    else:
+        LOGGER.info("No normalizer specified, skipping text normalization.")
+    wer = word_error_rate(references=reference, hypotheses=generated)
+    with open(wer_json, "x") as f:
+        json.dump({"wer": wer}, f, indent=4)
+    LOGGER.info(f"WER: {wer:.5f}.")
+    LOGGER.info(f"Saved WER JSON to {wer_json!s}")
+
+
+if __name__ == "__main__":
+    main(parse_args())

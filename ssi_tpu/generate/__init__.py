@@ -1,0 +1,176 @@
+"""Generation subsystem: batched decode from HF ``step_N/`` checkpoint dirs.
+
+``run_generation(cfg)`` mirrors the reference generate flow
+(ref: scripts/generate.py:77-142): SFT dataset in inference mode -> batched decode
+-> HF/vLLM-compatible ``generations.jsonl`` consumable unchanged by the WER script.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+import time
+from typing import Any
+
+from ssi_tpu.generate.engine import DecodeEngine, SamplingParams
+
+LOGGER = logging.getLogger(__name__)
+
+__all__ = ["DecodeEngine", "SamplingParams", "run_generation", "resolve_gen_output_dir"]
+
+
+def resolve_gen_output_dir(cfg: Any) -> str:
+    """checkpoints/... -> generations/... path convention (ref: scripts/generate.py:34-56)."""
+    model_dir = Path(cfg.model).resolve(strict=True)
+    experiments_root_dir = Path(cfg.experiments_root_dir).resolve(strict=True)
+    if not model_dir.is_relative_to(experiments_root_dir):
+        raise ValueError(
+            f"Could not resolve null generation output directory. Model {cfg.model} not in "
+            f"{cfg.experiments_root_dir}. Specify a generation output directory in the config "
+            "or check your model path."
+        )
+    if "checkpoints" not in model_dir.parts:
+        raise ValueError(
+            "Could not resolve null generation output directory: expected the model dir to be "
+            "under a 'checkpoints' directory (e.g. .../checkpoints/step_2000)."
+        )
+    parts = list(model_dir.parts)
+    parts[len(parts) - 1 - parts[::-1].index("checkpoints")] = "generations"
+    gen_output_dir = str(Path(*parts).resolve(strict=False))
+    LOGGER.info(f"Resolved null generation output directory to: {gen_output_dir}")
+    return gen_output_dir
+
+
+def validate_generate_config(cfg: Any) -> None:
+    from ssi_tpu.config import missing_keys
+
+    missing = missing_keys(cfg)
+    if missing:
+        raise ValueError(f"Missing keys in config: {missing}")
+    if cfg.sampling_params.n != 1:
+        raise NotImplementedError("Sampling multiple sequences per prompt (sampling_params.n > 1) is not supported.")
+
+
+def run_generation(cfg: Any) -> Path:
+    """Batched generation over an SFT split; writes generations.jsonl + config snapshot."""
+    import jax
+    import numpy as np
+
+    from ssi_tpu.checkpoint import Checkpointer
+    from ssi_tpu.config import to_yaml
+    from ssi_tpu.data.sft import SFTDataset
+    from ssi_tpu.models.configs import get_model_config
+    from ssi_tpu.tokenizer import setup_llama3_tokenizer
+    from ssi_tpu.utils import hash_cfg
+
+    validate_generate_config(cfg)
+    if cfg.gen.get("output_dir") is None:
+        cfg.gen.output_dir = resolve_gen_output_dir(cfg)
+
+    tok_cfg = {k: v for k, v in cfg.tokenizer.items()}
+    tokenizer, special_tokens = setup_llama3_tokenizer(**tok_cfg)
+    special_int2str = {v: k for k, v in special_tokens.items()}
+    stop_token_ids = cfg.sampling_params.get("stop_token_ids")
+    if stop_token_ids is None:
+        stop_token_ids = [tokenizer.eom_id, tokenizer.eot_id, tokenizer.eos_id]
+
+    _owner, gen_dataset_name = cfg.data[cfg.gen.split].dataset.source.split("/")
+    gen_output_dir = Path(cfg.gen.output_dir) / gen_dataset_name / cfg.gen.split
+    if cfg.gen.use_cfg_hash_subdir:
+        gen_output_dir = gen_output_dir / hash_cfg(cfg)
+    gen_output_dir.mkdir(parents=True, exist_ok=False)  # fail early if it already exists
+
+    if not cfg.data[cfg.gen.split].dataset.inference:
+        cfg.data[cfg.gen.split].dataset.inference = True
+        LOGGER.warning("Auto-setting dataset to inference mode.")
+
+    cfg_yaml = to_yaml(cfg, resolve=True)
+    with open(gen_output_dir / cfg.gen.output_config_filename, "x") as f:
+        f.write(cfg_yaml)
+    LOGGER.info(cfg_yaml)
+
+    # Model load: architecture from registry + speech extension arithmetic
+    model_cfg = get_model_config(cfg.get("model_config", "llama3_2_1b")).copy()
+    model_cfg.update_from_speech_cfg(cfg.speech)
+    checkpointer = Checkpointer(
+        checkpoint_dir=cfg.model,
+        output_dir=gen_output_dir / "_ckpt_scratch",
+        model_expectations=model_cfg.checkpoint_expectations,
+    )
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.get("dtype", "bf16") == "bf16" else jnp.float32
+    params = checkpointer.load_params(model_cfg, dtype=dtype)
+    params = jax.device_put(params)
+
+    dataset_kwargs = {k: v for k, v in cfg.data[cfg.gen.split].dataset.items()}
+    from ssi_tpu.config import to_container
+
+    dataset_kwargs = to_container(cfg.data[cfg.gen.split].dataset, resolve=True)
+    dataset = SFTDataset(model_tokenizer=tokenizer, **dataset_kwargs)
+
+    sp = SamplingParams.from_cfg(cfg.sampling_params, stop_token_ids)
+    engine = DecodeEngine(params, model_cfg, pad_id=tokenizer.pad_id)
+
+    batch_size = int(cfg.get("batch_size", cfg.get("vllm_batch_size", 8)))
+    decoding = dict(cfg.tokenizer_decoding.items()) if cfg.get("tokenizer_decoding") is not None else {}
+    observability = bool(cfg.get("observability", False))
+
+    n = len(dataset)
+    request_id = 0
+    key = jax.random.key(int(cfg.get("seed", 0)))
+    with open(gen_output_dir / cfg.gen.output_filename, "x") as f:
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            prompts = [dataset[i]["tokens"] for i in idxs]
+            real = len(prompts)
+            # pad the final partial batch with a dummy row to keep the compiled shape
+            while len(prompts) < batch_size:
+                prompts.append(prompts[0])
+            t0 = time.perf_counter()
+            key, sub = jax.random.split(key)
+            outs = engine.generate_batch(prompts, sp, key=sub)
+            dt = time.perf_counter() - t0
+            gen_tokens = sum(len(o["token_ids"]) for o in outs[:real])
+
+            for i in range(real):
+                out = outs[i]
+                text = tokenizer.decode(list(out["token_ids"]), **decoding)
+                stop_reason = out["stop_reason"]
+                record = {
+                    "request_id": str(request_id),
+                    "prompt": tokenizer.decode(list(prompts[i]), **decoding),
+                    "prompt_token_ids": list(map(int, prompts[i])),
+                    "finished": True,
+                    "outputs": [
+                        {
+                            "index": 0,
+                            "text": text,
+                            "token_ids": list(map(int, out["token_ids"])),
+                            "cumulative_logprob": None,
+                            "logprobs": None,
+                            "finish_reason": out["finish_reason"],
+                            "stop_reason": int(stop_reason) if stop_reason is not None else None,
+                            "stop_reason_text": special_int2str.get(stop_reason) if stop_reason is not None else None,
+                        }
+                    ],
+                }
+                if observability:
+                    record["metrics"] = {
+                        "batch_duration_s": dt,
+                        "batch_generated_tokens": gen_tokens,
+                        "batch_tokens_per_second": gen_tokens / dt if dt > 0 else None,
+                    }
+                f.write(json.dumps(record, ensure_ascii=False) + "\n")
+                request_id += 1
+            LOGGER.info(
+                f"Batch {start // batch_size}: {real} prompts, {gen_tokens} tokens in {dt:.2f}s "
+                f"({gen_tokens / dt:,.0f} tok/s)"
+            )
+    # scratch dir is only created by Checkpointer init; remove if empty
+    scratch = gen_output_dir / "_ckpt_scratch"
+    if scratch.exists() and not any(scratch.iterdir()):
+        scratch.rmdir()
+    LOGGER.info(f"Wrote outputs to {gen_output_dir!s}")
+    return gen_output_dir

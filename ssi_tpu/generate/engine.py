@@ -1,0 +1,300 @@
+"""Batched decode engine: left-padded prefill + on-device greedy/sampled decode loop.
+
+TPU-native replacement for the reference's vLLM usage (ref: scripts/generate.py:112-118).
+Design:
+
+- Prompts are **left-padded** to a bucketed length P, so every row's last prompt
+  token sits at slot P-1 and decode writes to uniform slots P+t — no per-row
+  scatter indices. Per-row ``pad_offsets`` shift RoPE positions and mask the pad
+  slots out of attention.
+- The whole generation (prefill + up to ``max_tokens`` decode steps) runs as ONE
+  jitted call with a ``lax.while_loop`` that exits early when every row has hit a
+  stop token — a single device dispatch per batch, no per-token host round-trips
+  (important through the remote-TPU tunnel, where each dispatch costs ~ms).
+- Sampling: greedy argmax at temperature 0 (the reference's eval regime), else
+  temperature/top-k/top-p categorical sampling; presence/frequency/repetition
+  penalties supported via an on-device [B, V] count buffer (vLLM semantics).
+
+Compiled programs are cached per (batch, prompt-bucket, max_tokens) shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+import functools
+import logging
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssi_tpu.models.configs import ConfigLlama3_2
+from ssi_tpu.models.llama3 import rms_norm
+from ssi_tpu.models.rope import apply_rope, rope_cos_sin
+
+LOGGER = logging.getLogger(__name__)
+
+_NEG_INF = -1.0e30
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Decode-time sampling configuration (vLLM-compatible surface,
+    ref: conf/generate.yaml:21-31)."""
+
+    n: int = 1
+    temperature: float = 0.0
+    top_p: float = 1.0
+    top_k: int = -1
+    max_tokens: int = 256
+    stop_token_ids: tuple[int, ...] = field(default_factory=tuple)
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+
+    @classmethod
+    def from_cfg(cls, node: Any, stop_token_ids: list[int]) -> "SamplingParams":
+        if int(node.get("n", 1)) != 1:
+            raise NotImplementedError(
+                "Sampling multiple sequences per prompt (sampling_params.n > 1) is not supported."
+            )
+        return cls(
+            n=1,
+            temperature=float(node.get("temperature", 0.0)),
+            top_p=float(node.get("top_p", 1.0)),
+            top_k=int(node.get("top_k", -1)),
+            max_tokens=int(node.get("max_tokens", 256)),
+            stop_token_ids=tuple(stop_token_ids),
+            presence_penalty=float(node.get("presence_penalty", 0.0)),
+            frequency_penalty=float(node.get("frequency_penalty", 0.0)),
+            repetition_penalty=float(node.get("repetition_penalty", 1.0)),
+        )
+
+    @property
+    def uses_penalties(self) -> bool:
+        return self.presence_penalty != 0.0 or self.frequency_penalty != 0.0 or self.repetition_penalty != 1.0
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _block(params_layer, h, cos, sin, cache_k, cache_v, slot_ids, attn_mask, cfg):
+    """One decoder layer over T new tokens, writing K/V into cache slots.
+
+    h: [B, T, D]; cache_k/v: [B, M, Hkv, hd]; slot_ids: [T] absolute cache slots;
+    attn_mask: [B, T, M] bool (True = attend).
+    """
+    b, t, d = h.shape
+    hd = cfg.head_dim
+    x = rms_norm(h, params_layer["attn_norm"], cfg.norm_eps)
+    q = (x @ params_layer["wq"]).reshape(b, t, cfg.num_heads, hd)
+    k = (x @ params_layer["wk"]).reshape(b, t, cfg.num_kv_heads, hd)
+    v = (x @ params_layer["wv"]).reshape(b, t, cfg.num_kv_heads, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k.astype(cache_k.dtype), slot_ids[0], axis=1)
+    cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v.astype(cache_v.dtype), slot_ids[0], axis=1)
+
+    n_rep = cfg.num_heads // cfg.num_kv_heads
+    k_all = jnp.repeat(cache_k, n_rep, axis=2)  # [B, M, Hq, hd]
+    v_all = jnp.repeat(cache_v, n_rep, axis=2)
+    scale = 1.0 / (hd**0.5)
+    logits = jnp.einsum("bthd,bmhd->bhtm", q, k_all.astype(q.dtype), preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(attn_mask[:, None, :, :], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    attn = jnp.einsum("bhtm,bmhd->bthd", probs.astype(v_all.dtype), v_all)
+    h = h + attn.reshape(b, t, cfg.num_heads * hd).astype(h.dtype) @ params_layer["wo"]
+
+    x = rms_norm(h, params_layer["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu(x @ params_layer["w_gate"])
+    up = x @ params_layer["w_up"]
+    h = h + (gate * up) @ params_layer["w_down"]
+    return h, cache_k, cache_v
+
+
+def _forward_slots(params, tokens, cfg, cache, slot_start, pad_offsets, t_len):
+    """Decoder forward for tokens occupying cache slots [slot_start, slot_start+T).
+
+    pad_offsets: [B] — number of left-pad slots per row (invalid for attention).
+    Returns (logits over last position? no — final-norm hidden [B,T,D], cache).
+    """
+    b = tokens.shape[0]
+    m = cache["k"].shape[2]
+    slot_ids = slot_start + jnp.arange(t_len, dtype=jnp.int32)  # [T]
+    # RoPE positions are pad-relative; clamp at 0 for pad slots (masked anyway).
+    positions = jnp.maximum(slot_ids[None, :] - pad_offsets[:, None], 0)  # [B, T]
+    cos, sin = rope_cos_sin(
+        positions,
+        cfg.head_dim,
+        rope_base=cfg.rope_base,
+        scale_factor=cfg.scale_factor,
+        low_freq_factor=cfg.rope_low_freq_factor,
+        high_freq_factor=cfg.rope_high_freq_factor,
+        original_max_seq_len=cfg.rope_original_max_seq_len,
+    )
+
+    kv_slots = jnp.arange(m, dtype=jnp.int32)  # [M]
+    causal = kv_slots[None, None, :] <= slot_ids[None, :, None]  # [1, T, M]
+    valid = kv_slots[None, None, :] >= pad_offsets[:, None, None]  # [B, 1, M]
+    attn_mask = jnp.logical_and(causal, valid)  # [B, T, M]
+
+    h = params["embed"][tokens]
+
+    def body(carry, xs):
+        h = carry
+        layer, ck, cv = xs
+        h, ck, cv = _block(layer, h, cos, sin, ck, cv, slot_ids, attn_mask, cfg)
+        return h, (ck, cv)
+
+    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+    return h, {"k": new_k, "v": new_v}
+
+
+def _sample(logits, sp: SamplingParams, key, counts):
+    """Next token from [B, V] fp32 logits."""
+    if sp.uses_penalties:
+        appeared = counts > 0
+        if sp.repetition_penalty != 1.0:
+            logits = jnp.where(
+                appeared,
+                jnp.where(logits > 0, logits / sp.repetition_penalty, logits * sp.repetition_penalty),
+                logits,
+            )
+        logits = logits - sp.frequency_penalty * counts - sp.presence_penalty * appeared.astype(logits.dtype)
+
+    if sp.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), key
+
+    logits = logits / sp.temperature
+    if sp.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -sp.top_k][:, None]
+        logits = jnp.where(logits < kth, _NEG_INF, logits)
+    if sp.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix with cumulative prob >= top_p
+        cutoff_idx = jnp.sum(cum < sp.top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, _NEG_INF, logits)
+    key, sub = jax.random.split(key)
+    return jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32), key
+
+
+class DecodeEngine:
+    """Batched generation over a fixed parameter pytree.
+
+    Args:
+        params: model param pytree (bf16 recommended).
+        cfg: architecture config (extended vocab).
+        pad_id: token used to left-pad prompts (masked out of attention anyway).
+        prompt_bucket: prompts pad up to a multiple of this (compile-cache key).
+    """
+
+    def __init__(self, params: Any, cfg: ConfigLlama3_2, pad_id: int, prompt_bucket: int = 128):
+        self.params = params
+        self.cfg = cfg
+        self.pad_id = pad_id
+        self.prompt_bucket = prompt_bucket
+        self._compiled: dict[tuple, Any] = {}
+
+    def _build(self, b: int, p: int, sp: SamplingParams):
+        cfg = self.cfg
+        max_t = sp.max_tokens
+        m = p + max_t
+        stop_ids = jnp.asarray(sp.stop_token_ids, jnp.int32) if sp.stop_token_ids else jnp.zeros((0,), jnp.int32)
+
+        cache_dtype = self.params["embed"].dtype  # match param precision (fp32 tests, bf16 prod)
+
+        def generate(params, tokens_padded, pad_offsets, key):
+            cache = {
+                "k": jnp.zeros((cfg.num_layers, b, m, cfg.num_kv_heads, cfg.head_dim), cache_dtype),
+                "v": jnp.zeros((cfg.num_layers, b, m, cfg.num_kv_heads, cfg.head_dim), cache_dtype),
+            }
+            hidden, cache = _forward_slots(params, tokens_padded, cfg, cache, jnp.int32(0), pad_offsets, p)
+            last_logits = jnp.dot(
+                hidden[:, -1, :], params["embed"].T, preferred_element_type=jnp.float32
+            )  # [B, V]
+
+            if sp.uses_penalties:
+                counts0 = jnp.zeros((b, cfg.vocab_size), jnp.float32)
+                # count prompt tokens so repetition penalties see the prompt (vLLM counts output only;
+                # repetition_penalty in vLLM considers prompt+output — match that for rep penalty only)
+                counts0 = counts0.at[jnp.arange(b)[:, None], tokens_padded].add(1.0)
+                counts0 = counts0.at[:, self.pad_id].set(0.0)
+            else:
+                counts0 = jnp.zeros((1, 1), jnp.float32)
+
+            tok0, key0 = _sample(last_logits, sp, key, counts0 if sp.uses_penalties else counts0)
+
+            out0 = jnp.full((b, max_t), self.pad_id, jnp.int32)
+            done0 = jnp.isin(tok0, stop_ids) if stop_ids.size else jnp.zeros((b,), bool)
+            out0 = out0.at[:, 0].set(tok0)
+            lens0 = jnp.ones((b,), jnp.int32)
+
+            def cond(state):
+                t, done, *_ = state
+                return jnp.logical_and(t < max_t, jnp.logical_not(jnp.all(done)))
+
+            def body(state):
+                t, done, tok, out, lens, cache, counts, key = state
+                hidden, cache = _forward_slots(params, tok[:, None], cfg, cache, p - 1 + t, pad_offsets, 1)
+                logits = jnp.dot(hidden[:, 0, :], params["embed"].T, preferred_element_type=jnp.float32)
+                if sp.uses_penalties:
+                    counts = counts.at[jnp.arange(b), tok].add(jnp.where(done, 0.0, 1.0))
+                next_tok, key = _sample(logits, sp, key, counts)
+                next_tok = jnp.where(done, self.pad_id, next_tok)
+                out = out.at[:, t].set(jnp.where(done, out[:, t], next_tok))
+                lens = lens + jnp.logical_not(done)
+                is_stop = jnp.isin(next_tok, stop_ids) if stop_ids.size else jnp.zeros((b,), bool)
+                done = jnp.logical_or(done, is_stop)
+                return (t + 1, done, next_tok, out, lens, cache, counts, key)
+
+            # NOTE body at t consumes the token produced for slot p-1+t and emits out[:, t].
+            state = (jnp.int32(1), done0, tok0, out0, lens0, cache, counts0, key0)
+            t, done, tok, out, lens, cache, counts, key = jax.lax.while_loop(cond, body, state)
+            return out, lens, done
+
+        return jax.jit(generate, donate_argnums=())
+
+    def generate_batch(
+        self, prompts: list[list[int]], sp: SamplingParams, key: jax.Array | None = None
+    ) -> list[dict[str, Any]]:
+        """Generate for a batch of ragged prompts; returns vLLM-shaped dicts."""
+        b = len(prompts)
+        max_len = max(len(t) for t in prompts)
+        p = _round_up(max_len, self.prompt_bucket)
+        tokens = np.full((b, p), self.pad_id, np.int32)
+        offsets = np.zeros((b,), np.int32)
+        for i, t in enumerate(prompts):
+            tokens[i, p - len(t) :] = t
+            offsets[i] = p - len(t)
+
+        cache_key = (b, p, sp)
+        if cache_key not in self._compiled:
+            self._compiled[cache_key] = self._build(b, p, sp)
+        fn = self._compiled[cache_key]
+        if key is None:
+            key = jax.random.key(0)
+        out, lens, done = fn(self.params, jnp.asarray(tokens), jnp.asarray(offsets), key)
+        out = np.asarray(out)
+        lens = np.asarray(lens)
+        done = np.asarray(done)
+
+        results = []
+        stop_set = set(sp.stop_token_ids)
+        for i in range(b):
+            token_ids = out[i, : lens[i]].tolist()
+            stopped = bool(done[i]) and token_ids and token_ids[-1] in stop_set
+            results.append(
+                {
+                    "token_ids": token_ids,
+                    "finish_reason": "stop" if stopped else "length",
+                    "stop_reason": token_ids[-1] if stopped else None,
+                }
+            )
+        return results

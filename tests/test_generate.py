@@ -1,0 +1,161 @@
+"""Decode engine correctness + generation pipeline contract."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssi_tpu.generate.engine import DecodeEngine, SamplingParams
+from ssi_tpu.models.llama3 import forward, init_params, logits
+from tests import helpers
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = helpers.tiny_config()
+    params = init_params(cfg, jax.random.key(7), dtype=jnp.float32)
+    return cfg, params
+
+
+def naive_greedy(params, cfg, prompt, max_tokens):
+    """Reference decode: full forward recompute per step, argmax."""
+    tokens = list(prompt)
+    out = []
+    for _ in range(max_tokens):
+        h = forward(params, jnp.asarray([tokens], jnp.int32), cfg, attn_impl="xla", remat=False)
+        lg = logits(params, h[:, -1:, :])
+        nxt = int(jnp.argmax(lg[0, 0]))
+        out.append(nxt)
+        tokens.append(nxt)
+    return out
+
+
+def test_greedy_matches_naive_full_recompute(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 11, 17]]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+    engine = DecodeEngine(params, cfg, pad_id=0, prompt_bucket=8)
+    outs = engine.generate_batch(prompts, sp)
+    for prompt, out in zip(prompts, outs):
+        expected = naive_greedy(params, cfg, prompt, 6)
+        assert out["token_ids"] == expected, f"{out['token_ids']} != {expected}"
+        assert out["finish_reason"] == "length"
+        assert out["stop_reason"] is None
+
+
+def test_stop_tokens_halt_generation(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, cfg.vocab_size, 9).tolist()
+    first = naive_greedy(params, cfg, prompt, 1)[0]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=(first,))
+    engine = DecodeEngine(params, cfg, pad_id=0, prompt_bucket=8)
+    out = engine.generate_batch([prompt], sp)[0]
+    assert out["token_ids"] == [first]
+    assert out["finish_reason"] == "stop"
+    assert out["stop_reason"] == first
+
+
+def test_batch_isolation(setup):
+    """A row's output is independent of what else is in the batch."""
+    cfg, params = setup
+    rng = np.random.default_rng(5)
+    p1 = rng.integers(0, cfg.vocab_size, 7).tolist()
+    p2 = rng.integers(0, cfg.vocab_size, 13).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=5, stop_token_ids=())
+    engine = DecodeEngine(params, cfg, pad_id=0, prompt_bucket=8)
+    solo = engine.generate_batch([p2, p2], sp)[0]
+    mixed = [r for r in engine.generate_batch([p1, p2], sp)]
+    assert mixed[1]["token_ids"] == solo["token_ids"]
+
+
+def test_temperature_sampling_reproducible(setup):
+    cfg, params = setup
+    prompt = list(range(10))
+    sp = SamplingParams(temperature=0.8, top_k=10, top_p=0.95, max_tokens=5, stop_token_ids=())
+    engine = DecodeEngine(params, cfg, pad_id=0, prompt_bucket=8)
+    a = engine.generate_batch([prompt], sp, key=jax.random.key(1))[0]
+    b = engine.generate_batch([prompt], sp, key=jax.random.key(1))[0]
+    c = engine.generate_batch([prompt], sp, key=jax.random.key(2))[0]
+    assert a["token_ids"] == b["token_ids"]
+    assert all(0 <= t < cfg.vocab_size for t in a["token_ids"])
+    assert isinstance(c["token_ids"], list)
+
+
+def test_run_generation_end_to_end(tmp_path, synthetic_data):
+    """Full generate flow: step dir -> generations.jsonl consumable by the WER tools."""
+    from ssi_tpu.config import Config
+    from ssi_tpu.generate import run_generation
+    from ssi_tpu.utils import extract_texts_from_generations_jsonl
+
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    cfg = Config(
+        {
+            "config_name": "generate",
+            "model_config": "tiny_test",
+            "speech": {"n_dsus": helpers.TINY_N_DSUS, "use_modality_tokens": True, "deduplicate": True},
+            "dtype": "fp32",
+            "model": str(model_dir),
+            "experiments_root_dir": str(tmp_path),
+            "tokenizer": {"path": str(model_dir / "original" / "tokenizer.model"), "max_seq_len": None},
+            "gen": {
+                "output_dir": str(tmp_path / "gens"),
+                "output_filename": "generations.jsonl",
+                "output_config_filename": "generation_config.yaml",
+                "use_cfg_hash_subdir": False,
+                "split": "test",
+            },
+            "batch_size": 4,
+            "tokenizer_decoding": {"truncate_at_eos": True, "skip_special_tokens": True},
+            "sampling_params": {
+                "stop_token_ids": None,
+                "n": 1,
+                "temperature": 0.0,
+                "top_p": 1,
+                "max_tokens": 8,
+                "top_k": -1,
+            },
+            "observability": True,
+            "data": {
+                "n_dsus": helpers.TINY_N_DSUS,
+                "test": {
+                    "dataset": {
+                        "source": "synthetic/sft",
+                        "inference": True,
+                        "deduplicate": True,
+                        "filter_fn": None,
+                        "train_on_input": True,
+                        "column_map": {"input": "speech_tokens", "output": "transcript"},
+                        "new_system_prompt": "Transcribe. ",
+                        "use_modality_tokens": True,
+                        "n_samples": 6,
+                        "split": "test",
+                    },
+                },
+            },
+        }
+    )
+    out_dir = run_generation(cfg)
+    gen_file = out_dir / "generations.jsonl"
+    assert gen_file.is_file()
+    records = [json.loads(line) for line in gen_file.read_text().splitlines()]
+    assert len(records) == 6
+    for rec in records:
+        assert rec["finished"] is True
+        assert len(rec["outputs"]) == 1
+        out = rec["outputs"][0]
+        assert isinstance(out["text"], str)
+        assert out["finish_reason"] in ("stop", "length")
+        assert "metrics" in rec  # observability on
+        assert isinstance(rec["prompt_token_ids"], list) and rec["prompt_token_ids"]
+    # consumable by the WER extraction helper (single generation per prompt)
+    texts = extract_texts_from_generations_jsonl(gen_file)
+    assert len(texts) == 6
+    # config snapshot written; second run refuses to overwrite
+    assert (out_dir / "generation_config.yaml").is_file()
+    with pytest.raises(FileExistsError):
+        run_generation(cfg)
