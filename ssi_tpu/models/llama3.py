@@ -54,7 +54,10 @@ def _block(
     v = (x @ layer["wv"]).reshape(b, s, cfg.num_kv_heads, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    if attn_impl == "pallas":
+    from ssi_tpu.ops.attention import AUTO_PALLAS_MIN_SEQ
+
+    use_pallas = attn_impl == "pallas" or (attn_impl == "auto" and s >= AUTO_PALLAS_MIN_SEQ)
+    if use_pallas:
         from ssi_tpu.ops.flash_attention import flash_attention
 
         attn = flash_attention(q, k, v, causal=True, segment_ids=segment_ids)

@@ -74,6 +74,13 @@ def xla_attention(
     return out.astype(q.dtype)
 
 
+# Above this sequence length the [B, H, S, S] probability tensor and repeated K/V
+# stop fitting comfortably; the Pallas flash kernel's O(S) memory wins. Below it,
+# XLA's fused attention is measured faster on v5e (9.5 ms vs 46 ms fwd+bwd at
+# B4/S768/32q/8kv — attention is overhead-dominated at short S).
+AUTO_PALLAS_MIN_SEQ = 4096
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "impl"))
 def attention(
     q: jnp.ndarray,
@@ -85,7 +92,9 @@ def attention(
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Dispatch to the configured attention backend."""
-    if impl in ("auto", "xla"):
+    if impl == "auto":
+        impl = "pallas" if q.shape[1] >= AUTO_PALLAS_MIN_SEQ else "xla"
+    if impl == "xla":
         return xla_attention(q, k, v, causal=causal, segment_ids=segment_ids)
     if impl == "pallas":
         from ssi_tpu.ops.flash_attention import flash_attention
