@@ -159,3 +159,19 @@ def test_run_generation_end_to_end(tmp_path, synthetic_data):
     assert (out_dir / "generation_config.yaml").is_file()
     with pytest.raises(FileExistsError):
         run_generation(cfg)
+
+
+def test_render_templates():
+    from ssi_tpu.generate.templates import list_templates, render_template
+    from ssi_tpu.speech import MODALITY_TOKEN_SPEECH, MODALITY_TOKEN_TEXT, dsu2pua
+
+    names = list_templates()
+    assert {"basic", "capital_of_france", "empty", "raven_poe", "repeat_this_modality_switch"} <= set(names)
+    out = render_template("repeat_this_modality_switch", speech_tokens=[1, 1, 2], deduplicate=True)
+    assert out == f"Repeat the following: {MODALITY_TOKEN_SPEECH}{dsu2pua(1)}{dsu2pua(2)}{MODALITY_TOKEN_TEXT}\n"
+    assert render_template("empty") == ""
+    assert render_template("capital_of_france_text_modality_token") == f"The capital of France is{MODALITY_TOKEN_TEXT}"
+    # missing variable -> StrictUndefined error
+    import jinja2, pytest as _pytest
+    with _pytest.raises(jinja2.exceptions.UndefinedError):
+        render_template("basic")
