@@ -257,7 +257,21 @@ def _build_loader(
     rank: int,
 ) -> tuple[Loader, Sampler]:
     if cfg_dataset.get("packed", False):
-        raise NotImplementedError("Packed datasets are not implemented (reference parity: also unimplemented).")
+        # TPU-first extension: the reference declares but never implements packing
+        # (ref: ssi/data/__init__.py:69,106). Packs are fixed-shape by construction.
+        from ssi_tpu.data.packing import PackedDataset, padded_collate_packed
+
+        if model_tokenizer.max_seq_len is None:
+            raise ValueError("PackedDataset requires a max_seq_len to be set on the tokenizer.")
+        dataset = PackedDataset(
+            dataset,
+            max_seq_len=int(model_tokenizer.max_seq_len),
+            pad_id=model_tokenizer.pad_id,
+            split_across_pack=bool(cfg_dataset.get("split_across_pack", False)),
+        )
+        collate_fn = padded_collate_packed
+    else:
+        collate_fn = _collate_for(cfg_dataset, model_tokenizer)
     sampler = Sampler(
         dataset_len=len(dataset),
         num_replicas=num_replicas,
@@ -269,7 +283,7 @@ def _build_loader(
         dataset=dataset,
         batch_size=int(cfg_dataset.dataloader.batch_size),
         sampler=sampler,
-        collate_fn=_collate_for(cfg_dataset, model_tokenizer),
+        collate_fn=collate_fn,
         drop_last=bool(cfg_dataset.dataloader.get("drop_last", True)),
     )
     return loader, sampler

@@ -48,6 +48,15 @@ def shift_labels(labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([labels[:, 1:], pad_col], axis=1)
 
 
+def shift_labels_packed(labels: jnp.ndarray, segment_ids: jnp.ndarray) -> jnp.ndarray:
+    """Next-token shift that never crosses a pack boundary: positions whose
+    successor belongs to a different segment get the ignore index."""
+    shifted = shift_labels(labels)
+    next_seg = jnp.concatenate([segment_ids[:, 1:], jnp.zeros_like(segment_ids[:, :1])], axis=1)
+    same_segment = next_seg == segment_ids
+    return jnp.where(same_segment, shifted, CROSS_ENTROPY_IGNORE_IDX)
+
+
 def make_loss_fn(
     model_cfg: ConfigLlama3_2,
     *,
@@ -55,11 +64,22 @@ def make_loss_fn(
     remat: bool = True,
     chunk_size: int = 1024,
 ) -> Callable:
-    """(params, tokens [B,S], labels [B,S]) -> (loss_sum f32, num_tokens i32)."""
+    """(params, tokens [B,S], labels [B,S], segment_ids?, positions?) ->
+    (loss_sum f32, num_tokens i32).
 
-    def loss_fn(params, tokens, labels):
-        hidden = forward(params, tokens, model_cfg, attn_impl=attn_impl, remat=remat)
-        y = shift_labels(labels).reshape(-1)
+    With ``segment_ids``/``positions`` (packed sequences), attention is restricted
+    to equal segments and the label shift stops at pack boundaries.
+    """
+
+    def loss_fn(params, tokens, labels, segment_ids=None, positions=None):
+        hidden = forward(
+            params, tokens, model_cfg, positions=positions, segment_ids=segment_ids,
+            attn_impl=attn_impl, remat=remat,
+        )
+        if segment_ids is None:
+            y = shift_labels(labels).reshape(-1)
+        else:
+            y = shift_labels_packed(labels, segment_ids).reshape(-1)
         h = hidden.reshape(-1, hidden.shape[-1])
         loss_sum = fused_cross_entropy(h, params["embed"], y, chunk_size)
         num_tokens = jnp.sum(y != CROSS_ENTROPY_IGNORE_IDX).astype(jnp.int32)
@@ -103,25 +123,29 @@ def make_train_step(
     loss_fn = make_loss_fn(model_cfg, attn_impl=attn_impl, remat=remat, chunk_size=chunk_size)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_step(state: TrainState, tokens: jnp.ndarray, labels: jnp.ndarray):
+    def train_step(state: TrainState, tokens: jnp.ndarray, labels: jnp.ndarray, segment_ids=None, positions=None):
         params = state["params"]
 
         if tokens.shape[0] == 1:
             # No accumulation: skip the fp32 accumulator buffer entirely (grads stay
             # in param dtype — 2x less HBM for the single-window case).
-            (loss_sum, num_tokens), grads = grad_fn(params, tokens[0], labels[0])
+            (loss_sum, num_tokens), grads = grad_fn(
+                params, tokens[0], labels[0],
+                None if segment_ids is None else segment_ids[0],
+                None if positions is None else positions[0],
+            )
         else:
 
             def micro(carry, xs):
                 g_acc, loss_acc, ntok_acc = carry
-                tk, lb = xs
-                (loss_sum, num_tokens), g = grad_fn(params, tk, lb)
+                tk, lb, seg, pos = xs
+                (loss_sum, num_tokens), g = grad_fn(params, tk, lb, seg, pos)
                 g_acc = jax.tree.map(lambda a, gg: a + gg.astype(grad_accum_dtype), g_acc, g)
                 return (g_acc, loss_acc + loss_sum, ntok_acc + num_tokens), None
 
             g_init = jax.tree.map(lambda p: jnp.zeros(p.shape, grad_accum_dtype), params)
             (grads, loss_sum, num_tokens), _ = jax.lax.scan(
-                micro, (g_init, jnp.float32(0.0), jnp.int32(0)), (tokens, labels)
+                micro, (g_init, jnp.float32(0.0), jnp.int32(0)), (tokens, labels, segment_ids, positions)
             )
 
         # Scale by 1/num_tokens_step (ref: ssi/trainer.py:404); guard div-by-zero.
@@ -184,8 +208,8 @@ def make_eval_step(
     loss_fn = make_loss_fn(model_cfg, attn_impl=attn_impl, remat=False, chunk_size=chunk_size)
 
     @jax.jit
-    def eval_step(params, tokens, labels):
-        return loss_fn(params, tokens, labels)
+    def eval_step(params, tokens, labels, segment_ids=None, positions=None):
+        return loss_fn(params, tokens, labels, segment_ids, positions)
 
     return eval_step
 
@@ -204,10 +228,11 @@ def compute_dataset_loss(
     n_batches = len(loader)
     for i, batch in enumerate(loader):
         if put_batch is not None:
-            tokens, labels = put_batch(batch)
+            arrays = put_batch(batch)
         else:
-            tokens, labels = jnp.asarray(batch["tokens"]), jnp.asarray(batch["labels"])
-        loss_sum, ntok = eval_step(params, tokens, labels)
+            keys = ["tokens", "labels"] + [k for k in ("segment_ids", "positions") if k in batch]
+            arrays = tuple(jnp.asarray(batch[k]) for k in keys)
+        loss_sum, ntok = eval_step(params, *arrays)
         loss_running += float(loss_sum)
         num_tokens += int(ntok)
         if log_every and (i % log_every == 0):

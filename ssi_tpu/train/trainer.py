@@ -316,7 +316,7 @@ class Trainer:
                 if self.global_step >= self.cfg.max_steps:
                     return
 
-    def _stack_window(self, window: list[dict[str, Any]]) -> tuple[np.ndarray, np.ndarray]:
+    def _stack_window(self, window: list[dict[str, Any]]) -> dict[str, np.ndarray]:
         """Stack accumulation-window micro-batches to [A, B, S] (pad to window max)."""
         s_max = max(b["tokens"].shape[1] for b in window)
         pad_id = self.tokenizer.pad_id
@@ -329,15 +329,17 @@ class Trainer:
             out[:, : arr.shape[1]] = arr
             return out
 
-        tokens = np.stack([pad_to(b["tokens"], pad_id) for b in window])
-        labels = np.stack([pad_to(b["labels"], CROSS_ENTROPY_IGNORE_IDX) for b in window])
-        return tokens, labels
+        pad_values = {"tokens": pad_id, "labels": CROSS_ENTROPY_IGNORE_IDX, "segment_ids": 0, "positions": 0}
+        keys = ["tokens", "labels"] + [k for k in ("segment_ids", "positions") if k in window[0]]
+        return {k: np.stack([pad_to(b[k], pad_values[k]) for b in window]) for k in keys}
 
     def _optimizer_step(self, epoch: int, iter_idx: int, window: list[dict[str, Any]]) -> None:
-        tokens, labels = self._stack_window(window)
-        tokens = jax.device_put(tokens, self._batch_sharding)
-        labels = jax.device_put(labels, self._batch_sharding)
-        self.state, metrics = self.train_step(self.state, tokens, labels)
+        stacked = self._stack_window(window)
+        put = {k: jax.device_put(v, self._batch_sharding) for k, v in stacked.items()}
+        tokens = put["tokens"]
+        self.state, metrics = self.train_step(
+            self.state, put["tokens"], put["labels"], put.get("segment_ids"), put.get("positions")
+        )
 
         # Host sync point (one per optimizer step)
         loss_sum = float(metrics["loss_sum"])
@@ -369,11 +371,28 @@ class Trainer:
         self._maybe_save_checkpoint()
 
     def _evaluate(self) -> float:
+        from ssi_tpu.constants import CROSS_ENTROPY_IGNORE_IDX
+
+        dp = self.mesh.shape["dp"]
+        fills = {
+            "tokens": self.tokenizer.pad_id,
+            "labels": CROSS_ENTROPY_IGNORE_IDX,
+            "segment_ids": 0,
+            "positions": 0,
+        }
+
         def put_batch(batch):
-            return (
-                jax.device_put(batch["tokens"], self._eval_sharding),
-                jax.device_put(batch["labels"], self._eval_sharding),
-            )
+            keys = ["tokens", "labels"] + [k for k in ("segment_ids", "positions") if k in batch]
+            rows = batch["tokens"].shape[0]
+            target = ((rows + dp - 1) // dp) * dp
+            out = []
+            for k in keys:
+                arr = batch[k]
+                if rows != target:  # final partial batch: pad rows so dp-sharding divides
+                    pad = np.full((target - rows, arr.shape[1]), fills[k], arr.dtype)
+                    arr = np.concatenate([arr, pad], axis=0)
+                out.append(jax.device_put(arr, self._eval_sharding))
+            return tuple(out)
 
         return compute_dataset_loss(
             self.eval_step, self.state["params"], self.data_dev, put_batch=put_batch, log_every=10

@@ -1,0 +1,151 @@
+"""Packed-dataset tests: layout invariants, loss equivalence, trainer integration.
+
+Packing is a TPU-first extension the reference only planned
+(ref: plans/Feature - Packed Dataset Support.md; ssi/data/__init__.py:69,106).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssi_tpu.constants import CROSS_ENTROPY_IGNORE_IDX
+from ssi_tpu.data.packing import PackedDataset, padded_collate_packed
+from tests import helpers
+
+PAD = 99
+
+
+class ListDataset:
+    def __init__(self, rows):
+        self.rows = rows
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, i):
+        return self.rows[i]
+
+
+def make_rows(lengths, base=1):
+    rows = []
+    t = base
+    for n in lengths:
+        toks = list(range(t, t + n))
+        rows.append({"tokens": toks, "labels": list(toks)})
+        t += n
+    return rows
+
+
+def test_pack_layout_invariants():
+    ds = PackedDataset(ListDataset(make_rows([5, 7, 4, 10, 3])), max_seq_len=16, pad_id=PAD)
+    total_tokens = 5 + 7 + 4 + 10 + 3
+    packed_tokens = 0
+    for i in range(len(ds)):
+        pack = ds[i]
+        assert pack["tokens"].shape == (16,)
+        real = pack["segment_ids"] > 0
+        packed_tokens += int(real.sum())
+        # padding is pad_id / ignore / 0
+        assert (pack["tokens"][~real] == PAD).all()
+        assert (pack["labels"][~real] == CROSS_ENTROPY_IGNORE_IDX).all()
+        assert (pack["positions"][~real] == 0).all()
+        # positions restart at 0 within each segment and increase by 1
+        for seg in np.unique(pack["segment_ids"][real]):
+            seg_pos = pack["positions"][pack["segment_ids"] == seg]
+            np.testing.assert_array_equal(seg_pos, np.arange(len(seg_pos)))
+        # segment ids are 1..k contiguous
+        segs = np.unique(pack["segment_ids"][real])
+        np.testing.assert_array_equal(segs, np.arange(1, len(segs) + 1))
+    assert packed_tokens == total_tokens  # nothing lost, nothing duplicated
+
+
+def test_split_across_pack():
+    ds = PackedDataset(
+        ListDataset(make_rows([10, 10, 10])), max_seq_len=16, pad_id=PAD, split_across_pack=True
+    )
+    # splitting -> zero padding except the final pack
+    for i in range(len(ds) - 1):
+        assert (ds[i]["segment_ids"] > 0).all()
+    total = sum((ds[i]["segment_ids"] > 0).sum() for i in range(len(ds)))
+    assert total == 30
+
+
+def test_oversized_sample_dropped_or_raises():
+    rows = make_rows([5, 30, 4])
+    ds = PackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD, drop_long=True)
+    packed = sum(int((ds[i]["segment_ids"] > 0).sum()) for i in range(len(ds)))
+    assert packed == 9  # the 30-token sample dropped
+    with pytest.raises(ValueError, match="exceeds max_seq_len"):
+        PackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD, drop_long=False)
+
+
+def test_packed_loss_equals_unpacked_sum():
+    """Sum-NLL over a pack == sum of per-sample NLLs computed separately."""
+    from ssi_tpu.models.llama3 import init_params
+    from ssi_tpu.train.step import make_loss_fn
+
+    cfg = helpers.tiny_config()
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    loss_fn = make_loss_fn(cfg, attn_impl="xla", remat=False, chunk_size=64)
+
+    rng = np.random.default_rng(0)
+    lens = [9, 13, 6]
+    rows = [
+        {"tokens": rng.integers(0, cfg.vocab_size, n).tolist()} for n in lens
+    ]
+    for r in rows:
+        r["labels"] = list(r["tokens"])
+
+    ds = PackedDataset(ListDataset(rows), max_seq_len=32, pad_id=0)
+    batch = padded_collate_packed([ds[i] for i in range(len(ds))])
+    packed_loss, packed_ntok = loss_fn(
+        params,
+        jnp.asarray(batch["tokens"]),
+        jnp.asarray(batch["labels"]),
+        jnp.asarray(batch["segment_ids"]),
+        jnp.asarray(batch["positions"]),
+    )
+
+    solo_loss = 0.0
+    solo_ntok = 0
+    for r in rows:
+        ls, nt = loss_fn(params, jnp.asarray([r["tokens"]], jnp.int32), jnp.asarray([r["labels"]], jnp.int32))
+        solo_loss += float(ls)
+        solo_ntok += int(nt)
+
+    assert int(packed_ntok) == solo_ntok  # boundary-masked shift drops exactly the cross-sample labels
+    np.testing.assert_allclose(float(packed_loss), solo_loss, rtol=1e-5)
+
+
+def test_repack_per_epoch_keeps_length():
+    rows = make_rows([5, 7, 4, 10, 3])
+    ds = PackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD)
+    n0 = len(ds)
+    ds.set_epoch(1)
+    assert len(ds) == n0
+    assert ds.dataset.epoch == 1
+
+
+def test_packed_trainer_end_to_end(tmp_path, synthetic_data):
+    from ssi_tpu.train import Trainer
+
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    cfg_dict = helpers.base_train_cfg_dict(model_dir, tmp_path / "ckpts", kind="cpt")
+    cfg_dict["data"]["train"]["packed"] = True
+    cfg_dict["data"]["dev"]["packed"] = True
+    cfg_dict["max_steps"] = 3
+    t = Trainer(helpers.make_cfg(cfg_dict))
+    t.setup()
+    losses = []
+    t._loss_log = losses
+    t.train()
+    dev = t._evaluate()
+    t.cleanup()
+    assert len(losses) == 3 and all(np.isfinite(x) for x in losses)
+    assert np.isfinite(dev)
