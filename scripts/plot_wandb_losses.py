@@ -6,7 +6,7 @@ with ``--wandb`` and a working wandb install, history is pulled from the W&B API
 instead. WER points are parsed from ``wer.json`` files under the generations dir.
 
 Usage:
-    python scripts/plot_losses.py /path/to/run_dir/generations /path/to/output_dir [--ext png] [--wandb]
+    python scripts/plot_wandb_losses.py /path/to/run_dir/generations /path/to/output_dir [--ext png] [--wandb]
 """
 
 import argparse
