@@ -98,14 +98,16 @@ def _block(params_layer, h, cos, sin, cache_k, cache_v, slot_ids, attn_mask, cfg
     cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k.astype(cache_k.dtype), slot_ids[0], axis=1)
     cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v.astype(cache_v.dtype), slot_ids[0], axis=1)
 
+    # Grouped-query attention without materializing repeated K/V: the repeat would
+    # multiply per-step cache reads by Hq/Hkv (4x for Llama 3.2) — decode is
+    # bandwidth-bound, so read the cache once and group q heads instead.
     n_rep = cfg.num_heads // cfg.num_kv_heads
-    k_all = jnp.repeat(cache_k, n_rep, axis=2)  # [B, M, Hq, hd]
-    v_all = jnp.repeat(cache_v, n_rep, axis=2)
+    qg = q.reshape(b, t, cfg.num_kv_heads, n_rep, hd)
     scale = 1.0 / (hd**0.5)
-    logits = jnp.einsum("bthd,bmhd->bhtm", q, k_all.astype(q.dtype), preferred_element_type=jnp.float32) * scale
-    logits = jnp.where(attn_mask[:, None, :, :], logits, _NEG_INF)
+    logits = jnp.einsum("btkgd,bmkd->bkgtm", qg, cache_k.astype(q.dtype), preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(attn_mask[:, None, None, :, :], logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    attn = jnp.einsum("bhtm,bmhd->bthd", probs.astype(v_all.dtype), v_all)
+    attn = jnp.einsum("bkgtm,bmkd->btkgd", probs.astype(cache_v.dtype), cache_v)
     h = h + attn.reshape(b, t, cfg.num_heads * hd).astype(h.dtype) @ params_layer["wo"]
 
     x = rms_norm(h, params_layer["mlp_norm"], cfg.norm_eps)
