@@ -402,15 +402,20 @@ class Checkpointer:
         training_hparams: dict[str, Any],
         consumed_samples: int,
         cumulative_metrics: dict[str, Any],
+        rng_state: dict[str, Any] | None = None,
     ) -> Path:
-        """Save schema-v1 resume state; always overwrites (ref: ssi/checkpoint.py:435-468)."""
+        """Save schema-v1 resume state; always overwrites (ref: ssi/checkpoint.py:435-468).
+
+        ``rng_state``: pre-captured host RNG states (pass when serialization happens
+        on a background thread so the capture reflects the training thread).
+        """
         state_dict = {
             CHECKPOINT_VERSION_KEY: CHECKPOINT_VERSION,
             GLOBAL_STEP_KEY: global_step,
             SEED_KEY: seed,
             OPTIMIZER_KEY: optimizer_state,
             LR_SCHEDULER_KEY: lr_scheduler_state,
-            RNG_KEY: save_rng_states(),
+            RNG_KEY: rng_state if rng_state is not None else save_rng_states(),
             TRAINING_HPARAMS_KEY: training_hparams,
             CONSUMED_SAMPLES_KEY: consumed_samples,
             CUMULATIVE_METRICS_KEY: cumulative_metrics,

@@ -24,6 +24,7 @@ import copy
 import itertools
 import logging
 import os
+from pathlib import Path
 import time
 from typing import Any
 
@@ -101,6 +102,10 @@ class Trainer:
 
         # Optional loss log for equivalence testing (ref: ssi/trainer.py:193)
         self._loss_log: list[float] | None = None
+
+        # Async checkpoint write (at most one in flight)
+        self._save_executor = None
+        self._save_future = None
 
     # === Setup ===
 
@@ -445,13 +450,25 @@ class Trainer:
 
     def save_checkpoint(self) -> None:
         """Save HF-format model weights + schema-v1 training state
-        (ref: ssi/trainer.py:494-514)."""
-        self.checkpointer.save_model_checkpoint(self.state["params"], self._llama_config, self.global_step)
+        (ref: ssi/trainer.py:494-514).
+
+        With ``async_save: true`` (a feature the reference only planned —
+        plans/Checkpointing - Consolidated Plan.md F5), the device->host transfer
+        and RNG capture happen synchronously, then serialization/disk IO run on a
+        background thread overlapped with training. At most one save is in flight;
+        a new save (or cleanup) joins the previous one first.
+        """
+        from ssi_tpu.checkpoint import save_rng_states
+
+        self._join_pending_save()
+        host_params = jax.device_get(self.state["params"])
         host_opt = jax.device_get(self.state["opt_state"])
-        self.checkpointer.save_training_state(
+        rng_state = save_rng_states()
+        step = self.global_step
+        kwargs = dict(
             optimizer_state=host_opt,
-            lr_scheduler_state={"last_step": self.global_step},
-            global_step=self.global_step,
+            lr_scheduler_state={"last_step": step},
+            global_step=step,
             seed=SEED,
             training_hparams=self._current_hparams(),
             consumed_samples=self.consumed_samples,
@@ -460,10 +477,56 @@ class Trainer:
                 "token_type_counts": dict(self.token_type_counts_total),
                 "wall_clock_seconds": self.wall_clock_offset + (time.perf_counter() - self.t_train_start),
             },
+            rng_state=rng_state,
         )
+
+        def write():
+            self.checkpointer.save_model_checkpoint(host_params, self._llama_config, step)
+            self.checkpointer.save_training_state(**kwargs)
+            self._prune_checkpoints(keep_step=step)
+
+        if bool(self.cfg.get("async_save", False)):
+            import concurrent.futures
+
+            if self._save_executor is None:
+                self._save_executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            self._save_future = self._save_executor.submit(write)
+        else:
+            write()
+
+    def _join_pending_save(self) -> None:
+        if getattr(self, "_save_future", None) is not None:
+            self._save_future.result()  # surface exceptions from the background write
+            self._save_future = None
+
+    def _prune_checkpoints(self, keep_step: int) -> None:
+        """Retention policy: keep only the newest N step dirs (the reference's
+        planned-but-unbuilt F4; null/absent = keep everything)."""
+        keep_n = self.cfg.get("keep_last_n_checkpoints")
+        if not keep_n:
+            return
+        import shutil
+
+        root = Path(self.cfg.checkpointer.output_dir)
+        step_dirs = []
+        for p in root.glob("step_*"):
+            try:
+                step_dirs.append((int(p.name.removeprefix("step_")), p))
+            except ValueError:
+                continue
+        step_dirs.sort(reverse=True)
+        for step_num, p in step_dirs[int(keep_n):]:
+            if step_num == keep_step:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            LOGGER.info(f"Pruned old checkpoint {p} (keep_last_n_checkpoints={keep_n})")
 
     # === Cleanup ===
 
     def cleanup(self) -> None:
+        self._join_pending_save()
+        if getattr(self, "_save_executor", None) is not None:
+            self._save_executor.shutdown(wait=True)
+            self._save_executor = None
         if self.metric_logger is not None:
             self.metric_logger.close()

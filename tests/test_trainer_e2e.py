@@ -104,3 +104,48 @@ def test_cpt_trainer_runs(tmp_path, synthetic_data):
     t.train()
     t.cleanup()
     assert len(losses) == 2 and all(np.isfinite(x) for x in losses)
+
+
+def test_checkpoint_retention_and_async_save(tmp_path, synthetic_data):
+    """Planned-but-unbuilt reference features F4/F5: retention policy + async save."""
+    from ssi_tpu.train import Trainer
+
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    cfg_dict = helpers.base_train_cfg_dict(model_dir, tmp_path / "ckpts", kind="sft")
+    cfg_dict["max_steps"] = 6
+    cfg_dict["save_steps"] = 2
+    cfg_dict["eval_steps"] = 2
+    cfg_dict["keep_last_n_checkpoints"] = 2
+    cfg_dict["async_save"] = True
+    t = Trainer(helpers.make_cfg(cfg_dict))
+    t.setup()
+    t.train()
+    t.cleanup()  # joins the in-flight background save
+    root = tmp_path / "ckpts"
+    step_dirs = sorted(p.name for p in root.glob("step_*"))
+    assert step_dirs == ["step_4", "step_6"], step_dirs  # step_2 pruned
+    assert (root / "training_state.msgpack").is_file()
+    # the kept checkpoints are loadable
+    from ssi_tpu.checkpoint import Checkpointer
+
+    ck = Checkpointer(checkpoint_dir=root / "step_6", output_dir=tmp_path / "reload")
+    params = ck.load_params(t._llama_config, dtype="float32")
+    assert params["embed"].shape[0] == t._llama_config.vocab_size
+
+
+def test_wsd_schedule_shape():
+    import numpy as np
+
+    from ssi_tpu.train.lr_schedule import wsd_schedule
+
+    sched = wsd_schedule(1.0, num_warmup_steps=10, num_training_steps=100, decay_fraction=0.2, min_lr_ratio=0.1)
+    assert float(sched(0)) == 0.0
+    assert float(sched(5)) == pytest.approx(0.5)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(50)) == pytest.approx(1.0)  # stable plateau
+    assert float(sched(79)) == pytest.approx(1.0)  # decay starts at 80
+    assert float(sched(90)) == pytest.approx(0.55)  # halfway down to 0.1
+    assert float(sched(100)) == pytest.approx(0.1)
+    # plateau is independent of total steps (the WSD selling point)
+    sched2 = wsd_schedule(1.0, 10, 1000, decay_fraction=0.2, min_lr_ratio=0.1)
+    assert float(sched2(50)) == float(sched(50)) == 1.0
