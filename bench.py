@@ -34,7 +34,7 @@ BASELINE_TOKENS_PER_SEC = 12_000.0  # 2x estimated A6000 eager throughput (see d
 
 BATCH = 16
 SEQ = 768
-ACCUM = 1
+ACCUM = 4  # reference default (conf/training.yaml); optimizer cost amortizes over the window
 WARMUP = 3
 STEPS = 10
 
@@ -56,7 +56,9 @@ def main() -> None:
 
     params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     params = shard_params(mesh, params)
-    opt_cfg = AdamWConfig(mu_dtype=jnp.bfloat16, nu_dtype=jnp.float32)
+    # torch-parity dtypes: the reference's bf16 AdamW keeps exp_avg AND exp_avg_sq
+    # in bf16 (torch optimizer state follows param dtype)
+    opt_cfg = AdamWConfig(mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16)
     opt_state = jax.jit(
         lambda p: init_opt_state(p, opt_cfg),
         out_shardings={
@@ -68,7 +70,10 @@ def main() -> None:
     state = {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
 
     schedule = cosine_schedule_with_warmup(2e-4, 1000, 100_000)
-    step = make_train_step(cfg, opt_cfg, schedule, clip_grad_norm=None, chunk_size=1024)
+    step = make_train_step(
+        cfg, opt_cfg, schedule, clip_grad_norm=None, chunk_size=1024,
+        grad_accum_dtype=jnp.bfloat16,  # torch-parity: reference accumulates in bf16 .grad buffers
+    )
 
     rng = np.random.default_rng(0)
     tokens = rng.integers(0, cfg.vocab_size, (ACCUM, BATCH, SEQ)).astype(np.int32)

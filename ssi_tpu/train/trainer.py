@@ -261,6 +261,7 @@ class Trainer:
             )
         attn_impl = self.cfg.get("attn_impl", "auto")
         chunk_size = int(self.cfg.get("loss_chunk_size", 1024))
+        accum_dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[self.cfg.get("grad_accum_dtype", "fp32")]
         self.train_step = make_train_step(
             self._llama_config,
             self.opt_cfg,
@@ -271,6 +272,7 @@ class Trainer:
             attn_impl=attn_impl,
             remat=bool(self.cfg.get("remat", True)),
             chunk_size=chunk_size,
+            grad_accum_dtype=accum_dtype,
         )
         self.eval_step = make_eval_step(self._llama_config, attn_impl=attn_impl, chunk_size=chunk_size)
         self._batch_sharding = batch_sharding(self.mesh, accum_axis=True)
