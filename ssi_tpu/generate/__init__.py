@@ -75,7 +75,8 @@ def run_generation(cfg: Any) -> Path:
     if stop_token_ids is None:
         stop_token_ids = [tokenizer.eom_id, tokenizer.eot_id, tokenizer.eos_id]
 
-    _owner, gen_dataset_name = cfg.data[cfg.gen.split].dataset.source.split("/")
+    # HF repo ids are owner/name; local data-file types ("json", "csv") have no owner
+    gen_dataset_name = cfg.data[cfg.gen.split].dataset.source.split("/")[-1]
     gen_output_dir = Path(cfg.gen.output_dir) / gen_dataset_name / cfg.gen.split
     if cfg.gen.use_cfg_hash_subdir:
         gen_output_dir = gen_output_dir / hash_cfg(cfg)
