@@ -80,8 +80,34 @@ def param_specs(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(pick, params)
 
 
+def _divisible_spec(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
+    """Drop mesh axes that do not divide the corresponding array dimension.
+
+    device_put of concrete arrays requires exact divisibility (unlike GSPMD inside
+    jit, which pads). E.g. the extended vocab 133258 shards over tp=2 but not tp=4
+    — fall back to replication for that dimension rather than fail.
+    """
+    out = []
+    changed = False
+    for dim, axis in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if axis is not None and dim % mesh.shape[axis] != 0:
+            LOGGER.warning(
+                f"Array dim {dim} not divisible by mesh axis {axis!r}={mesh.shape[axis]}; replicating that dim."
+            )
+            out.append(None)
+            changed = True
+        else:
+            out.append(axis)
+    return P(*out) if changed else spec
+
+
 def param_shardings(mesh: Mesh, params: Any) -> Any:
-    return jax.tree.map(lambda spec: NamedSharding(mesh, spec), param_specs(params))
+    return jax.tree.map(
+        lambda spec, leaf: NamedSharding(mesh, _divisible_spec(spec, leaf.shape, mesh)),
+        param_specs(params),
+        params,
+        is_leaf=lambda x: isinstance(x, P),
+    )
 
 
 def shard_params(mesh: Mesh, params: Any) -> Any:

@@ -1,0 +1,89 @@
+"""Mesh/sharding semantics: the same training step must compute the same numbers
+on every mesh layout (dp/tp partitioning is an implementation detail, not math)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ssi_tpu.models.llama3 import init_params
+from ssi_tpu.parallel import batch_sharding, make_mesh, param_specs, shard_params
+from ssi_tpu.train.lr_schedule import constant_schedule
+from ssi_tpu.train.optimizer import AdamWConfig, init_opt_state
+from ssi_tpu.train.step import make_train_step
+from tests import helpers
+
+
+def test_param_specs_layout():
+    cfg = helpers.tiny_config()
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    specs = param_specs(params)
+    assert specs["embed"] == P("tp", None)  # vocab-sharded tied embedding
+    assert specs["layers"]["wq"] == P(None, None, "tp")
+    assert specs["layers"]["wo"] == P(None, "tp", None)
+    assert specs["layers"]["w_down"] == P(None, "tp", None)
+    assert specs["final_norm"] == P()
+
+
+def _loss_and_grads(mesh_shape, tokens, labels):
+    from ssi_tpu.train.step import make_loss_fn
+
+    cfg = helpers.tiny_config()
+    dp, tp = mesh_shape
+    mesh = make_mesh(dp=dp, tp=tp)
+    params = shard_params(mesh, init_params(cfg, jax.random.key(0), dtype=jnp.float32))
+    loss_fn = make_loss_fn(cfg, attn_impl="xla", remat=False, chunk_size=64)
+    grad_fn = jax.jit(jax.value_and_grad(lambda p, t, y: loss_fn(p, t, y)[0]))
+    bsh = batch_sharding(mesh, accum_axis=False)
+    loss, grads = grad_fn(params, jax.device_put(tokens, bsh), jax.device_put(labels, bsh))
+    return float(loss), jax.device_get(grads)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2), (1, 4), (4, 2)])
+def test_loss_and_grads_invariant_to_mesh_layout(mesh_shape):
+    cfg = helpers.tiny_config()
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, (8, 64)).astype(np.int32)
+    labels = tokens.copy()
+    labels[:, :3] = -100
+
+    ref_loss, ref_grads = _loss_and_grads((1, 1), tokens, labels)
+    loss, grads = _loss_and_grads(mesh_shape, tokens, labels)
+    # SPMD partitioning changes reduction order -> tolerance, not bitwise
+    assert loss == pytest.approx(ref_loss, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5)
+
+
+def test_optimizer_step_runs_on_every_mesh():
+    """Full train step (grad accum + AdamW) executes on each layout with equal token counts."""
+    cfg = helpers.tiny_config()
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 8, 64)).astype(np.int32)
+    losses = {}
+    for mesh_shape in [(1, 1), (2, 2), (8, 1)]:
+        mesh = make_mesh(dp=mesh_shape[0], tp=mesh_shape[1])
+        params = shard_params(mesh, init_params(cfg, jax.random.key(0), dtype=jnp.float32))
+        opt_cfg = AdamWConfig(lr=1e-3, mu_dtype=jnp.float32, nu_dtype=jnp.float32)
+        state = {"params": params, "opt_state": init_opt_state(params, opt_cfg), "step": jnp.zeros((), jnp.int32)}
+        step = make_train_step(cfg, opt_cfg, constant_schedule(1e-3), clip_grad_norm=1.0, chunk_size=64, donate=False)
+        bsh = batch_sharding(mesh)
+        _, m = step(state, jax.device_put(tokens, bsh), jax.device_put(tokens.copy(), bsh))
+        losses[mesh_shape] = (float(m["loss_sum"]), int(m["num_tokens"]))
+    counts = {v[1] for v in losses.values()}
+    assert len(counts) == 1  # token accounting identical across layouts
+    ref = losses[(1, 1)][0]
+    for v in losses.values():
+        assert v[0] == pytest.approx(ref, rel=1e-5)
+
+
+def test_uneven_vocab_tp_sharding_falls_back():
+    """Vocab 530 doesn't divide tp=4: the embed dim must replicate, not fail."""
+    cfg = helpers.tiny_config()
+    assert cfg.vocab_size % 4 != 0
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, cfg.vocab_size, (4, 64)).astype(np.int32)
+    loss, _ = _loss_and_grads((2, 4), tokens, tokens.copy())
+    assert np.isfinite(loss)
