@@ -55,7 +55,7 @@ SAFETENSOR_INDEX_FNAME = "model.safetensors.index.json"
 SHARD_FNAME = "ft-model-{cpt_idx}-of-{num_shards}"
 TRAINING_STATE_FNAME = "training_state.msgpack"
 # file suffixes never copied into step_N dirs (weights and derived artifacts)
-SUFFIXES_TO_NOT_COPY = (".safetensors", ".bin", ".pt", ".msgpack", ".index.json", ".lock")
+SUFFIXES_TO_NOT_COPY = (".safetensors", ".bin", ".pt", ".msgpack", ".index.json", ".lock", ".tmp")
 
 
 # ---------------------------------------------------------------------------
@@ -423,7 +423,11 @@ class Checkpointer:
             "ssi_version": __version__,
         }
         output_path = self.output_dir / TRAINING_STATE_FNAME
-        output_path.write_bytes(pack_state(state_dict))
+        # Atomic replace: this file is the ONLY resume state and is overwritten in
+        # place every save — a crash mid-write must not destroy the previous one.
+        tmp_path = output_path.with_suffix(".msgpack.tmp")
+        tmp_path.write_bytes(pack_state(state_dict))
+        os.replace(tmp_path, output_path)
         LOGGER.info(f"Training state ({os.path.getsize(output_path) / 1024**3:.2f} GiB) saved to {output_path}")
         return output_path
 

@@ -83,8 +83,14 @@ class PackedDataset:
             # a constant epoch length, so clamp to the epoch-0 count.
             if len(self._packs) > self._target_len:
                 self._packs = self._packs[: self._target_len]
-            while len(self._packs) < self._target_len:
-                self._packs.append(self._packs[len(self._packs) % max(len(self._packs), 1)])
+            elif len(self._packs) < self._target_len:
+                if not self._packs:
+                    raise ValueError(f"Epoch {epoch} packed to zero rows; cannot pad to {self._target_len}")
+                base = list(self._packs)
+                i = 0
+                while len(self._packs) < self._target_len:  # cycle distinct packs, not pack 0
+                    self._packs.append(base[i % len(base)])
+                    i += 1
         LOGGER.info(
             f"Packed {len(self.dataset)} samples into {len(self._packs)} rows of {self.max_seq_len} "
             f"(epoch {epoch}, split_across_pack={self.split_across_pack})"

@@ -105,7 +105,6 @@ def run_generation(cfg: Any) -> Path:
     params = checkpointer.load_params(model_cfg, dtype=dtype)
     params = jax.device_put(params)
 
-    dataset_kwargs = {k: v for k, v in cfg.data[cfg.gen.split].dataset.items()}
     from ssi_tpu.config import to_container
 
     dataset_kwargs = to_container(cfg.data[cfg.gen.split].dataset, resolve=True)

@@ -47,6 +47,8 @@ class ConfigLlama3_2:
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_original_max_seq_len: int = 8192
+    # HF hub checkpoint shard count (1B ships 1 shard; 3B ships 2)
+    n_checkpoint_shards: int = 1
 
     def __post_init__(self) -> None:
         if not isinstance(self.n_dsus, int) or self.n_dsus < 0:
@@ -78,7 +80,7 @@ class ConfigLlama3_2:
         size_label = {2048: "1B", 3072: "3B"}.get(self.embed_dim, f"{self.embed_dim}d")
         return ModelCheckpointExpectations(
             model_name=f"Llama 3.2 {size_label}",
-            n_shards=1,
+            n_shards=self.n_checkpoint_shards,
             num_layers=self.num_layers,
             hidden_size=self.embed_dim,
             vocab_size=self.vocab_size,
@@ -116,6 +118,7 @@ configllama3_2_3b = ConfigLlama3_2(
     norm_eps=1e-5,
     rope_base=500_000,
     scale_factor=32,
+    n_checkpoint_shards=2,  # meta-llama/Llama-3.2-3B ships model-0000{1,2}-of-00002
 )
 
 # Tiny architecture for CPU tests and CI smoke runs (not a reference model).

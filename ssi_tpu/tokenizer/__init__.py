@@ -187,7 +187,7 @@ class Llama3Tokenizer:
                 k = token_ids.index(self.eos_id)
             except ValueError:
                 k = None
-            if k:
+            if k is not None:  # EOS at index 0 must truncate to empty, not be skipped
                 token_ids = token_ids[:k]
         if skip_special_tokens:
             token_ids = [t for t in token_ids if t not in self._special_token_ids]

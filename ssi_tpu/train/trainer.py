@@ -419,13 +419,16 @@ class Trainer:
             )
         )
 
+        # Step duration excludes the dev-set evaluation below (else eval steps log
+        # wildly inflated duration_step / deflated tokens_per_second).
+        dur_step = time.perf_counter() - self.t_step_start
+
         if self.global_step % self.cfg.eval_steps == 0:
             dev_loss = self._evaluate()
         else:
             dev_loss = None
 
         if self.global_step % self.cfg.log_interval == 0:
-            dur_step = time.perf_counter() - self.t_step_start
             n_chips = self.mesh.devices.size
             log_dict = {
                 "loss": loss_to_log,
@@ -442,6 +445,9 @@ class Trainer:
             if dev_loss is not None:
                 log_dict.update({"dev_loss": dev_loss})
             self.metric_logger.log_dict(log_dict, step=self.global_step)
+        elif dev_loss is not None:
+            # eval step that isn't a log-interval step: never discard a computed dev loss
+            self.metric_logger.log_dict({"dev_loss": dev_loss}, step=self.global_step)
 
     def _maybe_save_checkpoint(self) -> None:
         if self.global_step != 0 and self.global_step % self.cfg.save_steps == 0:

@@ -121,3 +121,12 @@ def test_validate_messages_rules():
             ]
         )
     validate_messages([Message(role="user", content="a"), Message(role="assistant", content="b")])
+
+
+def test_decode_truncates_at_eos_index_zero(tiny_extended_tokenizer_path):
+    """Regression: EOS as the very first token must truncate to empty output."""
+    tokenizer, _ = setup_llama3_tokenizer(tiny_extended_tokenizer_path, verbose=False)
+    out = tokenizer.decode([tokenizer.eos_id, 65, 66], truncate_at_eos=True)
+    assert out == ""
+    # and EOS mid-sequence still truncates there
+    assert tokenizer.decode([65, tokenizer.eos_id, 66], truncate_at_eos=True) == "A"
