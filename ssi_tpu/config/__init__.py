@@ -208,9 +208,35 @@ def _resolve_str(value: str, root: dict[str, Any], _depth: int = 0) -> Any:
 # ----------------------------------------------------------------------------------
 
 
+class _Yaml12Loader(yaml.SafeLoader):
+    """SafeLoader with YAML 1.2 float resolution: pyyaml (YAML 1.1) parses ``2e-4``
+    as a *string* (it requires a dot before the exponent), which silently turns
+    scientific-notation hyperparameters into strings. OmegaConf/Hydra resolve these
+    as floats; match that."""
+
+
+_Yaml12Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:
+            [-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+            |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+            |\.[0-9_]+(?:[eE][-+][0-9]+)?
+            |[-+]?\.(?:inf|Inf|INF)
+            |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
+def _yaml_load(text_or_stream) -> Any:
+    return yaml.load(text_or_stream, Loader=_Yaml12Loader)
+
+
 def load_yaml(path: Path | str) -> dict[str, Any]:
     with open(path) as f:
-        data = yaml.safe_load(f)
+        data = _yaml_load(f)
     return data if data is not None else {}
 
 
@@ -276,7 +302,7 @@ def _load_with_defaults(
 
 
 def _parse_override_value(text: str) -> Any:
-    return yaml.safe_load(text) if text != "" else ""
+    return _yaml_load(text) if text != "" else ""
 
 
 def _set_dotted(data: dict[str, Any], dotted: str, value: Any) -> None:

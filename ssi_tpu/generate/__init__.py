@@ -148,7 +148,7 @@ def run_generation(cfg: Any) -> Path:
                             "index": 0,
                             "text": text,
                             "token_ids": list(map(int, out["token_ids"])),
-                            "cumulative_logprob": None,
+                            "cumulative_logprob": out.get("cumulative_logprob"),
                             "logprobs": None,
                             "finish_reason": out["finish_reason"],
                             "stop_reason": int(stop_reason) if stop_reason is not None else None,

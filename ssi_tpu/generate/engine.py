@@ -156,6 +156,13 @@ def _forward_slots(params, tokens, cfg, cache, slot_start, pad_offsets, t_len):
     return h, {"k": new_k, "v": new_v}
 
 
+def _token_logprob(logits, tok):
+    """log p(tok) under the raw (pre-temperature) logits — vLLM-style per-token logprob."""
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, tok[:, None], axis=-1)[:, 0]
+    return picked - lse
+
+
 def _sample(logits, sp: SamplingParams, key, counts):
     """Next token from [B, V] fp32 logits."""
     if sp.uses_penalties:
@@ -232,6 +239,7 @@ class DecodeEngine:
                 counts0 = jnp.zeros((1, 1), jnp.float32)
 
             tok0, key0 = _sample(last_logits, sp, key, counts0 if sp.uses_penalties else counts0)
+            clp0 = _token_logprob(last_logits, tok0)  # [B]
 
             out0 = jnp.full((b, max_t), self.pad_id, jnp.int32)
             done0 = jnp.isin(tok0, stop_ids) if stop_ids.size else jnp.zeros((b,), bool)
@@ -243,23 +251,24 @@ class DecodeEngine:
                 return jnp.logical_and(t < max_t, jnp.logical_not(jnp.all(done)))
 
             def body(state):
-                t, done, tok, out, lens, cache, counts, key = state
+                t, done, tok, out, lens, cache, counts, key, clp = state
                 hidden, cache = _forward_slots(params, tok[:, None], cfg, cache, p - 1 + t, pad_offsets, 1)
                 logits = jnp.dot(hidden[:, 0, :], params["embed"].T, preferred_element_type=jnp.float32)
                 if sp.uses_penalties:
                     counts = counts.at[jnp.arange(b), tok].add(jnp.where(done, 0.0, 1.0))
                 next_tok, key = _sample(logits, sp, key, counts)
+                clp = clp + jnp.where(done, 0.0, _token_logprob(logits, next_tok))
                 next_tok = jnp.where(done, self.pad_id, next_tok)
                 out = out.at[:, t].set(jnp.where(done, out[:, t], next_tok))
                 lens = lens + jnp.logical_not(done)
                 is_stop = jnp.isin(next_tok, stop_ids) if stop_ids.size else jnp.zeros((b,), bool)
                 done = jnp.logical_or(done, is_stop)
-                return (t + 1, done, next_tok, out, lens, cache, counts, key)
+                return (t + 1, done, next_tok, out, lens, cache, counts, key, clp)
 
             # NOTE body at t consumes the token produced for slot p-1+t and emits out[:, t].
-            state = (jnp.int32(1), done0, tok0, out0, lens0, cache, counts0, key0)
-            t, done, tok, out, lens, cache, counts, key = jax.lax.while_loop(cond, body, state)
-            return out, lens, done
+            state = (jnp.int32(1), done0, tok0, out0, lens0, cache, counts0, key0, clp0)
+            t, done, tok, out, lens, cache, counts, key, clp = jax.lax.while_loop(cond, body, state)
+            return out, lens, done, clp
 
         return jax.jit(generate, donate_argnums=())
 
@@ -282,10 +291,11 @@ class DecodeEngine:
         fn = self._compiled[cache_key]
         if key is None:
             key = jax.random.key(0)
-        out, lens, done = fn(self.params, jnp.asarray(tokens), jnp.asarray(offsets), key)
+        out, lens, done, clp = fn(self.params, jnp.asarray(tokens), jnp.asarray(offsets), key)
         out = np.asarray(out)
         lens = np.asarray(lens)
         done = np.asarray(done)
+        clp = np.asarray(clp)
 
         results = []
         stop_set = set(sp.stop_token_ids)
@@ -297,6 +307,7 @@ class DecodeEngine:
                     "token_ids": token_ids,
                     "finish_reason": "stop" if stopped else "length",
                     "stop_reason": token_ids[-1] if stopped else None,
+                    "cumulative_logprob": float(clp[i]),
                 }
             )
         return results

@@ -140,6 +140,26 @@ def setup_metric_logger(cfg_wandb: Any, tags: list[str] | None = None, log_dir: 
     return JsonlLogger(log_dir=log_dir)
 
 
+def attach_run_file_logging(run_dir: Path | str, job_name: str = "train") -> None:
+    """Attach a per-run file handler to the root logger.
+
+    Parity with the reference's custom Hydra logging config, which writes a
+    ``<job>.log`` into each run's output dir alongside the colored console
+    (ref: conf/hydra/job_logging/custom.yaml:20-34).
+    """
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    path = run_dir / f"{job_name}.log"
+    root = logging.getLogger()
+    for h in root.handlers:
+        if isinstance(h, logging.FileHandler) and getattr(h, "baseFilename", None) == str(path):
+            return  # already attached (idempotent across setup calls)
+    handler = logging.FileHandler(path)
+    handler.setFormatter(logging.Formatter("[%(asctime)s][%(name)s][%(levelname)s] - %(message)s"))
+    root.addHandler(handler)
+    LOGGER.info(f"Run log file: {path}")
+
+
 def _jsonable(v: Any) -> Any:
     try:
         json.dumps(v)

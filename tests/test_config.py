@@ -1,0 +1,118 @@
+"""Config system tests: composition, interpolation, overrides, missing keys.
+
+This module replaces Hydra/OmegaConf (ref: conf/cpt.yaml defaults list,
+conf/common.yaml interpolations, ssi/train_utils.py:71 missing_keys) — it is
+load-bearing for every entry point, so its semantics get their own suite.
+"""
+
+from pathlib import Path
+
+import pytest
+
+from ssi_tpu.config import (
+    MISSING,
+    Config,
+    InterpolationError,
+    MissingMandatoryValue,
+    compose,
+    missing_keys,
+    to_container,
+    to_yaml,
+)
+
+CONF = Path(__file__).resolve().parent.parent / "conf"
+
+
+def test_compose_real_tree_cpt():
+    cfg = compose(str(CONF), "cpt", overrides=["data=cpt/mls-hubert_large_ll60k-layer_22"])
+    assert cfg.config_name == "cpt"
+    assert cfg.tokenizer.max_seq_len == 768
+    assert cfg.data.n_dsus == 5000
+    assert cfg.data.train.dataset.sequence_type == "interleaved"
+    assert cfg.optimizer.lr == 2e-4
+    assert missing_keys(cfg) == set()
+
+
+def test_compose_mandatory_group_enforced():
+    with pytest.raises(MissingMandatoryValue, match="data"):
+        compose(str(CONF), "cpt", overrides=[])
+
+
+def test_interpolation_chains_and_updates():
+    cfg = compose(str(CONF), "sft", overrides=["data=sft/mls-mimi-srvq_0"])
+    assert cfg.speech.n_dsus is None
+    cfg.speech.n_dsus = 2048  # late assignment must flow through interpolations
+    assert cfg.extended_model_name == "Llama-3.2-1B-2048-dsus"
+    assert cfg.checkpointer.checkpoint_dir.endswith("models/extended/Llama-3.2-1B-2048-dsus")
+
+
+def test_value_overrides_typed():
+    cfg = compose(
+        str(CONF),
+        "cpt",
+        overrides=[
+            "data=cpt/mls-focalcodec",
+            "max_steps=7",
+            "optimizer.lr=1e-5",
+            "clip_grad_norm=1.0",
+            "lr_scheduler=null",
+            "speech.use_modality_tokens=false",
+        ],
+    )
+    assert cfg.max_steps == 7 and isinstance(cfg.max_steps, int)
+    assert cfg.optimizer.lr == 1e-5
+    assert cfg.get("lr_scheduler") is None
+    assert cfg.speech.use_modality_tokens is False
+    # interpolated consumer sees the override
+    assert cfg.data.train.dataset.use_modality_tokens is False
+
+
+def test_plus_prefix_adds_new_key():
+    cfg = compose(str(CONF), "cpt", overrides=["data=cpt/mls-focalcodec", "+data.train.dataset.data_files=/x.jsonl"])
+    assert cfg.data.train.dataset.data_files == "/x.jsonl"
+
+
+def test_missing_marker_raises_on_access():
+    cfg = Config({"a": MISSING, "b": 1})
+    assert cfg.b == 1
+    with pytest.raises(MissingMandatoryValue):
+        _ = cfg.a
+    assert missing_keys(cfg) == {"a"}
+    assert cfg.get("a", "fallback") == "fallback"
+
+
+def test_env_resolver(monkeypatch):
+    monkeypatch.setenv("SSI_TPU_HOME", "/custom/home")
+    cfg = compose(str(CONF), "cpt", overrides=["data=cpt/mls-focalcodec"])
+    assert cfg.extended_models_dir == "/custom/home/models/extended"
+    monkeypatch.delenv("SSI_TPU_HOME")
+    cfg2 = compose(str(CONF), "cpt", overrides=["data=cpt/mls-focalcodec"])
+    assert cfg2.extended_models_dir.startswith("/root/ssi_tpu_home")
+
+
+def test_unknown_interpolation_errors():
+    cfg = Config({"x": "${nope.nothing}"})
+    with pytest.raises(InterpolationError):
+        _ = cfg.x
+
+
+def test_to_yaml_roundtrip_resolves():
+    cfg = compose(str(CONF), "sft", overrides=["data=sft/mls-hubert_large_ll60k-layer_22", "speech.n_dsus=5000"])
+    text = to_yaml(cfg, resolve=True)
+    assert "Llama-3.2-1B-5000-dsus" in text
+    assert "${" not in text  # fully resolved
+    container = to_container(cfg, resolve=True)
+    assert container["data"]["train"]["dataset"]["deduplicate"] is True
+
+
+def test_select_and_setdefault():
+    cfg = Config({"a": {"b": 2}})
+    assert cfg.select("a.b") == 2
+    assert cfg.select("a.zz", default=9) == 9
+    cfg.setdefault("c", 3)
+    assert cfg.c == 3
+
+
+def test_embedded_interpolation_stringifies():
+    cfg = Config({"name": "m", "n": 5, "derived": "${name}-${n}-dsus"})
+    assert cfg.derived == "m-5-dsus"
