@@ -1,0 +1,76 @@
+"""Loader/collate coverage: pad modes, drop_last, additional keys, window stacking."""
+
+import numpy as np
+import pytest
+
+from ssi_tpu.data import Loader, Sampler, padded_collate_sft
+
+
+def rows(lengths):
+    return [{"tokens": list(range(1, n + 1)), "labels": list(range(1, n + 1))} for n in lengths]
+
+
+def test_pad_mode_bucket_rounds_up():
+    batch = rows([5, 130])
+    out = padded_collate_sft(batch, padding_idx=0, bucket_multiple=128)
+    assert out["tokens"].shape == (2, 256)  # 130 -> next multiple of 128
+    assert out["tokens"][0, 5:].sum() == 0
+    assert (out["labels"][0, 5:] == -100).all()
+
+
+def test_pad_mode_batch_max():
+    out = padded_collate_sft(rows([3, 7]), padding_idx=9)
+    assert out["tokens"].shape == (2, 7)
+    assert out["tokens"][0].tolist() == [1, 2, 3, 9, 9, 9, 9]
+
+
+def test_additional_keys_pass_through():
+    batch = [
+        {"tokens": [1], "labels": [1], "ID": "a"},
+        {"tokens": [2, 3], "labels": [2, 3], "ID": "b"},
+    ]
+    out = padded_collate_sft(batch, padding_idx=0, additional_keys=["ID"], pad_to=4)
+    assert out["ID"] == ["a", "b"]
+    assert out["tokens"].shape == (2, 4)
+
+
+class _DS:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"tokens": [i + 1] * (i % 3 + 1), "labels": [i + 1] * (i % 3 + 1)}
+
+
+def test_loader_drop_last_semantics():
+    ds = _DS(10)
+    sampler = Sampler(10, shuffle=False)
+    keep = Loader(ds, batch_size=3, sampler=sampler, collate_fn=lambda b: b, drop_last=False)
+    drop = Loader(ds, batch_size=3, sampler=sampler, collate_fn=lambda b: b, drop_last=True)
+    assert len(keep) == 4 and len(drop) == 3
+    batches_keep = list(keep)
+    batches_drop = list(drop)
+    assert len(batches_keep) == 4 and len(batches_keep[-1]) == 1
+    assert len(batches_drop) == 3 and all(len(b) == 3 for b in batches_drop)
+
+
+def test_collate_rejects_oversize_for_pad_to():
+    with pytest.raises(ValueError, match="exceeds"):
+        padded_collate_sft(rows([10]), padding_idx=0, pad_to=8)
+
+
+def test_sampler_epoch_determinism_with_loader():
+    ds = _DS(12)
+    sampler = Sampler(12, shuffle=True)
+    loader = Loader(ds, batch_size=4, sampler=sampler, collate_fn=lambda b: [len(x["tokens"]) for x in b])
+    sampler.set_epoch(0)
+    a = list(loader)
+    sampler.set_epoch(0)
+    b = list(loader)
+    sampler.set_epoch(1)
+    c = list(loader)
+    assert a == b
+    assert a != c
