@@ -25,6 +25,7 @@ from typing import Any
 import numpy as np
 
 from ssi_tpu.constants import CROSS_ENTROPY_IGNORE_IDX, SEED
+from ssi_tpu.utils import round_up as _round_up
 from ssi_tpu.data.cpt import TextCompletionDataset
 from ssi_tpu.data.sft import SFTDataset
 from ssi_tpu.tokenizer import Llama3Tokenizer
@@ -130,10 +131,6 @@ class Sampler:
 # --------------------------------------------------------------------------------
 # Fixed-shape collation
 # --------------------------------------------------------------------------------
-
-
-def _round_up(n: int, multiple: int) -> int:
-    return ((n + multiple - 1) // multiple) * multiple
 
 
 def padded_collate_sft(

@@ -30,8 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssi_tpu.models.configs import ConfigLlama3_2
-from ssi_tpu.models.llama3 import rms_norm
-from ssi_tpu.models.rope import apply_rope, rope_cos_sin
+from ssi_tpu.models.llama3 import forward_slots
 
 LOGGER = logging.getLogger(__name__)
 
@@ -76,109 +75,41 @@ class SamplingParams:
         return self.presence_penalty != 0.0 or self.frequency_penalty != 0.0 or self.repetition_penalty != 1.0
 
 
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
+from ssi_tpu.utils import round_up as _round_up
 
 
-def _block(params_layer, h, cos, sin, cache_k, cache_v, slot_ids, attn_mask, cfg):
-    """One decoder layer over T new tokens, writing K/V into cache slots.
+def _sample(logits, sp: SamplingParams, key, out_counts, prompt_counts):
+    """Next token + its logprob from [B, V] fp32 logits.
 
-    h: [B, T, D]; cache_k/v: [B, M, Hkv, hd]; slot_ids: [T] absolute cache slots;
-    attn_mask: [B, T, M] bool (True = attend).
+    Penalty scoping follows vLLM: repetition_penalty sees prompt+output tokens;
+    presence/frequency penalties see output tokens only. The returned logprob is
+    computed from the processed distribution (post-penalties, post-temperature,
+    pre-top-k/p truncation — vLLM's logprob point).
     """
-    b, t, d = h.shape
-    hd = cfg.head_dim
-    x = rms_norm(h, params_layer["attn_norm"], cfg.norm_eps)
-    q = (x @ params_layer["wq"]).reshape(b, t, cfg.num_heads, hd)
-    k = (x @ params_layer["wk"]).reshape(b, t, cfg.num_kv_heads, hd)
-    v = (x @ params_layer["wv"]).reshape(b, t, cfg.num_kv_heads, hd)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-
-    cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k.astype(cache_k.dtype), slot_ids[0], axis=1)
-    cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v.astype(cache_v.dtype), slot_ids[0], axis=1)
-
-    # Grouped-query attention without materializing repeated K/V: the repeat would
-    # multiply per-step cache reads by Hq/Hkv (4x for Llama 3.2) — decode is
-    # bandwidth-bound, so read the cache once and group q heads instead.
-    n_rep = cfg.num_heads // cfg.num_kv_heads
-    qg = q.reshape(b, t, cfg.num_kv_heads, n_rep, hd)
-    scale = 1.0 / (hd**0.5)
-    logits = jnp.einsum("btkgd,bmkd->bkgtm", qg, cache_k.astype(q.dtype), preferred_element_type=jnp.float32) * scale
-    logits = jnp.where(attn_mask[:, None, None, :, :], logits, _NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1)
-    attn = jnp.einsum("bkgtm,bmkd->btkgd", probs.astype(cache_v.dtype), cache_v)
-    h = h + attn.reshape(b, t, cfg.num_heads * hd).astype(h.dtype) @ params_layer["wo"]
-
-    x = rms_norm(h, params_layer["mlp_norm"], cfg.norm_eps)
-    gate = jax.nn.silu(x @ params_layer["w_gate"])
-    up = x @ params_layer["w_up"]
-    h = h + (gate * up) @ params_layer["w_down"]
-    return h, cache_k, cache_v
-
-
-def _forward_slots(params, tokens, cfg, cache, slot_start, pad_offsets, t_len):
-    """Decoder forward for tokens occupying cache slots [slot_start, slot_start+T).
-
-    pad_offsets: [B] — number of left-pad slots per row (invalid for attention).
-    Returns (logits over last position? no — final-norm hidden [B,T,D], cache).
-    """
-    b = tokens.shape[0]
-    m = cache["k"].shape[2]
-    slot_ids = slot_start + jnp.arange(t_len, dtype=jnp.int32)  # [T]
-    # RoPE positions are pad-relative; clamp at 0 for pad slots (masked anyway).
-    positions = jnp.maximum(slot_ids[None, :] - pad_offsets[:, None], 0)  # [B, T]
-    cos, sin = rope_cos_sin(
-        positions,
-        cfg.head_dim,
-        rope_base=cfg.rope_base,
-        scale_factor=cfg.scale_factor,
-        low_freq_factor=cfg.rope_low_freq_factor,
-        high_freq_factor=cfg.rope_high_freq_factor,
-        original_max_seq_len=cfg.rope_original_max_seq_len,
-    )
-
-    kv_slots = jnp.arange(m, dtype=jnp.int32)  # [M]
-    causal = kv_slots[None, None, :] <= slot_ids[None, :, None]  # [1, T, M]
-    valid = kv_slots[None, None, :] >= pad_offsets[:, None, None]  # [B, 1, M]
-    attn_mask = jnp.logical_and(causal, valid)  # [B, T, M]
-
-    h = params["embed"][tokens]
-
-    def body(carry, xs):
-        h = carry
-        layer, ck, cv = xs
-        h, ck, cv = _block(layer, h, cos, sin, ck, cv, slot_ids, attn_mask, cfg)
-        return h, (ck, cv)
-
-    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
-    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
-    return h, {"k": new_k, "v": new_v}
-
-
-def _token_logprob(logits, tok):
-    """log p(tok) under the raw (pre-temperature) logits — vLLM-style per-token logprob."""
-    lse = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(logits, tok[:, None], axis=-1)[:, 0]
-    return picked - lse
-
-
-def _sample(logits, sp: SamplingParams, key, counts):
-    """Next token from [B, V] fp32 logits."""
     if sp.uses_penalties:
-        appeared = counts > 0
         if sp.repetition_penalty != 1.0:
+            appeared_any = (out_counts + prompt_counts) > 0
             logits = jnp.where(
-                appeared,
+                appeared_any,
                 jnp.where(logits > 0, logits / sp.repetition_penalty, logits * sp.repetition_penalty),
                 logits,
             )
-        logits = logits - sp.frequency_penalty * counts - sp.presence_penalty * appeared.astype(logits.dtype)
+        appeared_out = out_counts > 0
+        logits = logits - sp.frequency_penalty * out_counts - sp.presence_penalty * appeared_out.astype(logits.dtype)
+
+    if sp.temperature != 0.0:
+        logits = logits / sp.temperature
+
+    def logprob_of(tok):
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, tok[:, None], axis=-1)[:, 0]
+        return picked - lse
 
     if sp.temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), key
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return tok, key, logprob_of(tok)
 
-    logits = logits / sp.temperature
+    lp_logits = logits  # logprob point: before top-k/p truncation
     if sp.top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -sp.top_k][:, None]
         logits = jnp.where(logits < kth, _NEG_INF, logits)
@@ -191,7 +122,10 @@ def _sample(logits, sp: SamplingParams, key, counts):
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
         logits = jnp.where(logits < cutoff, _NEG_INF, logits)
     key, sub = jax.random.split(key)
-    return jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32), key
+    tok = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+    lse = jax.nn.logsumexp(lp_logits, axis=-1)
+    picked = jnp.take_along_axis(lp_logits, tok[:, None], axis=-1)[:, 0]
+    return tok, key, picked - lse
 
 
 class DecodeEngine:
@@ -224,22 +158,24 @@ class DecodeEngine:
                 "k": jnp.zeros((cfg.num_layers, b, m, cfg.num_kv_heads, cfg.head_dim), cache_dtype),
                 "v": jnp.zeros((cfg.num_layers, b, m, cfg.num_kv_heads, cfg.head_dim), cache_dtype),
             }
-            hidden, cache = _forward_slots(params, tokens_padded, cfg, cache, jnp.int32(0), pad_offsets, p)
+            hidden, cache = forward_slots(params, tokens_padded, cfg, cache, jnp.int32(0), pad_offsets, p)
             last_logits = jnp.dot(
                 hidden[:, -1, :], params["embed"].T, preferred_element_type=jnp.float32
             )  # [B, V]
 
             if sp.uses_penalties:
-                counts0 = jnp.zeros((b, cfg.vocab_size), jnp.float32)
-                # count prompt tokens so repetition penalties see the prompt (vLLM counts output only;
-                # repetition_penalty in vLLM considers prompt+output — match that for rep penalty only)
-                counts0 = counts0.at[jnp.arange(b)[:, None], tokens_padded].add(1.0)
-                counts0 = counts0.at[:, self.pad_id].set(0.0)
+                out_counts0 = jnp.zeros((b, cfg.vocab_size), jnp.float32)
+                # prompt counts feed only repetition_penalty (vLLM scoping); mask by
+                # slot validity so left-padding never counts, even if pad_id is a
+                # token that genuinely appears in the prompt
+                slot_valid = (jnp.arange(p, dtype=jnp.int32)[None, :] >= pad_offsets[:, None]).astype(jnp.float32)
+                prompt_counts = jnp.zeros((b, cfg.vocab_size), jnp.float32)
+                prompt_counts = prompt_counts.at[jnp.arange(b)[:, None], tokens_padded].add(slot_valid)
             else:
-                counts0 = jnp.zeros((1, 1), jnp.float32)
+                out_counts0 = jnp.zeros((1, 1), jnp.float32)
+                prompt_counts = jnp.zeros((1, 1), jnp.float32)
 
-            tok0, key0 = _sample(last_logits, sp, key, counts0 if sp.uses_penalties else counts0)
-            clp0 = _token_logprob(last_logits, tok0)  # [B]
+            tok0, key0, clp0 = _sample(last_logits, sp, key, out_counts0, prompt_counts)
 
             out0 = jnp.full((b, max_t), self.pad_id, jnp.int32)
             done0 = jnp.isin(tok0, stop_ids) if stop_ids.size else jnp.zeros((b,), bool)
@@ -251,23 +187,23 @@ class DecodeEngine:
                 return jnp.logical_and(t < max_t, jnp.logical_not(jnp.all(done)))
 
             def body(state):
-                t, done, tok, out, lens, cache, counts, key, clp = state
-                hidden, cache = _forward_slots(params, tok[:, None], cfg, cache, p - 1 + t, pad_offsets, 1)
+                t, done, tok, out, lens, cache, out_counts, key, clp = state
+                hidden, cache = forward_slots(params, tok[:, None], cfg, cache, p - 1 + t, pad_offsets, 1)
                 logits = jnp.dot(hidden[:, 0, :], params["embed"].T, preferred_element_type=jnp.float32)
                 if sp.uses_penalties:
-                    counts = counts.at[jnp.arange(b), tok].add(jnp.where(done, 0.0, 1.0))
-                next_tok, key = _sample(logits, sp, key, counts)
-                clp = clp + jnp.where(done, 0.0, _token_logprob(logits, next_tok))
+                    out_counts = out_counts.at[jnp.arange(b), tok].add(jnp.where(done, 0.0, 1.0))
+                next_tok, key, lp = _sample(logits, sp, key, out_counts, prompt_counts)
+                clp = clp + jnp.where(done, 0.0, lp)
                 next_tok = jnp.where(done, self.pad_id, next_tok)
                 out = out.at[:, t].set(jnp.where(done, out[:, t], next_tok))
                 lens = lens + jnp.logical_not(done)
                 is_stop = jnp.isin(next_tok, stop_ids) if stop_ids.size else jnp.zeros((b,), bool)
                 done = jnp.logical_or(done, is_stop)
-                return (t + 1, done, next_tok, out, lens, cache, counts, key, clp)
+                return (t + 1, done, next_tok, out, lens, cache, out_counts, key, clp)
 
             # NOTE body at t consumes the token produced for slot p-1+t and emits out[:, t].
-            state = (jnp.int32(1), done0, tok0, out0, lens0, cache, counts0, key0, clp0)
-            t, done, tok, out, lens, cache, counts, key, clp = jax.lax.while_loop(cond, body, state)
+            state = (jnp.int32(1), done0, tok0, out0, lens0, cache, out_counts0, key0, clp0)
+            t, done, tok, out, lens, cache, out_counts, key, clp = jax.lax.while_loop(cond, body, state)
             return out, lens, done, clp
 
         return jax.jit(generate, donate_argnums=())

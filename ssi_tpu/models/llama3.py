@@ -125,35 +125,65 @@ def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
 # ----------------------------------------------------------------------------------
 
 
+DECODE_NEG_INF = -1.0e30
+
+
 def init_kv_cache(cfg: ConfigLlama3_2, batch: int, max_len: int, dtype=jnp.bfloat16) -> Params:
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def forward_with_cache(
-    params: Params,
-    tokens: jnp.ndarray,
-    cfg: ConfigLlama3_2,
-    cache: Params,
-    cache_positions: jnp.ndarray,
-    *,
-    attn_impl: str = "xla",
-) -> tuple[jnp.ndarray, Params]:
-    """Decoder forward writing new K/V into the cache at ``cache_positions``.
+def decode_block(params_layer, h, cos, sin, cache_k, cache_v, slot_ids, attn_mask, cfg):
+    """One decoder layer over T new tokens, writing K/V into cache slots.
 
-    Args:
-        tokens: ``[B, T]`` (T = prompt length at prefill, 1 at decode).
-        cache: dict of ``k``/``v`` ``[L, B, M, Hkv, Hd]``.
-        cache_positions: ``[B]`` int32 — index of the first new token per row (each
-            row's tokens occupy ``[pos, pos + T)``).
-
-    Returns:
-        (hidden ``[B, T, D]`` final-normed, updated cache).
+    h: [B, T, D]; cache_k/v: [B, M, Hkv, hd]; slot_ids: [T] absolute cache slots;
+    attn_mask: [B, T, M] bool (True = attend).
     """
-    b, t = tokens.shape
+    b, t, d = h.shape
+    hd = cfg.head_dim
+    x = rms_norm(h, params_layer["attn_norm"], cfg.norm_eps)
+    q = (x @ params_layer["wq"]).reshape(b, t, cfg.num_heads, hd)
+    k = (x @ params_layer["wk"]).reshape(b, t, cfg.num_kv_heads, hd)
+    v = (x @ params_layer["wv"]).reshape(b, t, cfg.num_kv_heads, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k.astype(cache_k.dtype), slot_ids[0], axis=1)
+    cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v.astype(cache_v.dtype), slot_ids[0], axis=1)
+
+    # Grouped-query attention without materializing repeated K/V: the repeat would
+    # multiply per-step cache reads by Hq/Hkv (4x for Llama 3.2) — decode is
+    # bandwidth-bound, so read the cache once and group q heads instead.
+    n_rep = cfg.num_heads // cfg.num_kv_heads
+    qg = q.reshape(b, t, cfg.num_kv_heads, n_rep, hd)
+    scale = 1.0 / (hd**0.5)
+    logits = jnp.einsum("btkgd,bmkd->bkgtm", qg, cache_k.astype(q.dtype), preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(attn_mask[:, None, None, :, :], logits, DECODE_NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    attn = jnp.einsum("bkgtm,bmkd->btkgd", probs.astype(cache_v.dtype), cache_v)
+    h = h + attn.reshape(b, t, cfg.num_heads * hd).astype(h.dtype) @ params_layer["wo"]
+
+    x = rms_norm(h, params_layer["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu(x @ params_layer["w_gate"])
+    up = x @ params_layer["w_up"]
+    h = h + (gate * up) @ params_layer["w_down"]
+    return h, cache_k, cache_v
+
+
+def forward_slots(params, tokens, cfg, cache, slot_start, pad_offsets, t_len):
+    """Decoder forward for tokens occupying cache slots [slot_start, slot_start+T).
+
+    The canonical KV-cache decode path (used by the generation engine and the
+    parity tests). ``pad_offsets``: [B] left-pad slots per row — masked out of
+    attention and subtracted from RoPE positions.
+
+    Returns (final-norm hidden [B, T, D], updated cache).
+    """
+    b = tokens.shape[0]
     m = cache["k"].shape[2]
-    h = params["embed"][tokens]
-    positions = cache_positions[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # [B, T]
+    slot_ids = slot_start + jnp.arange(t_len, dtype=jnp.int32)  # [T]
+    # RoPE positions are pad-relative; clamp at 0 for pad slots (masked anyway).
+    positions = jnp.maximum(slot_ids[None, :] - pad_offsets[:, None], 0)  # [B, T]
     cos, sin = rope_cos_sin(
         positions,
         cfg.head_dim,
@@ -164,54 +194,22 @@ def forward_with_cache(
         original_max_seq_len=cfg.rope_original_max_seq_len,
     )
 
-    kv_pos = jnp.arange(m, dtype=jnp.int32)[None, :]  # [1, M]
-    # key j visible to query at abs position p iff j <= p
-    visible = kv_pos[None, :, :] <= positions[:, :, None]  # [B, T, M]
+    kv_slots = jnp.arange(m, dtype=jnp.int32)  # [M]
+    causal = kv_slots[None, None, :] <= slot_ids[None, :, None]  # [1, T, M]
+    valid = kv_slots[None, None, :] >= pad_offsets[:, None, None]  # [B, 1, M]
+    attn_mask = jnp.logical_and(causal, valid)  # [B, T, M]
 
-    def scan_body(carry, xs):
-        h, cache_k, cache_v = carry  # h: [B,T,D]; caches: [B,M,Hkv,Hd]
-        layer = xs
-        x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
-        q = (x @ layer["wq"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
-        k = (x @ layer["wk"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        v = (x @ layer["wv"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+    h = params["embed"][tokens]
 
-        # Scatter new k/v into the cache at [pos, pos+T) per row.
-        t_idx = jnp.arange(t, dtype=jnp.int32)
-        rows = jnp.arange(b, dtype=jnp.int32)[:, None]
-        cols = cache_positions[:, None] + t_idx[None, :]
-        cache_k = cache_k.at[rows, cols].set(k.astype(cache_k.dtype))
-        cache_v = cache_v.at[rows, cols].set(v.astype(cache_v.dtype))
+    def body(carry, xs):
+        h = carry
+        layer, ck, cv = xs
+        h, ck, cv = decode_block(layer, h, cos, sin, ck, cv, slot_ids, attn_mask, cfg)
+        return h, (ck, cv)
 
-        # Attention over the full cache with visibility mask.
-        n_rep = cfg.num_heads // cfg.num_kv_heads
-        k_all = jnp.repeat(cache_k, n_rep, axis=2)  # [B, M, Hq, Hd]
-        v_all = jnp.repeat(cache_v, n_rep, axis=2)
-        scale = 1.0 / (cfg.head_dim**0.5)
-        logits_qk = jnp.einsum("bthd,bmhd->bhtm", q, k_all.astype(q.dtype), preferred_element_type=jnp.float32)
-        logits_qk = logits_qk * scale
-        logits_qk = jnp.where(visible[:, None, :, :], logits_qk, -2.0e38)
-        probs = jax.nn.softmax(logits_qk, axis=-1)
-        attn = jnp.einsum("bhtm,bmhd->bthd", probs.astype(v_all.dtype), v_all)
-        h = h + attn.reshape(b, t, cfg.num_heads * cfg.head_dim).astype(h.dtype) @ layer["wo"]
-
-        x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu(x @ layer["w_gate"])
-        up = x @ layer["w_up"]
-        h = h + (gate * up) @ layer["w_down"]
-        return (h, None, None), (cache_k, cache_v)
-
-    # scan over layers, carrying h; per-layer caches go through xs/ys
-    def body(h, xs):
-        layer, cache_k, cache_v = xs
-        (h, _, _), (new_k, new_v) = scan_body((h, cache_k, cache_v), layer)
-        return h, (new_k, new_v)
-
-    h, (new_ks, new_vs) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
-    return h, {"k": new_ks, "v": new_vs}
+    return h, {"k": new_k, "v": new_v}
 
 
 # ----------------------------------------------------------------------------------

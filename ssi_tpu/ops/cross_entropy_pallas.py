@@ -43,9 +43,7 @@ VOCAB_BLOCK = 2048
 _NEG_INF = -1.0e30
 
 
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
-
+from ssi_tpu.utils import round_up as _round_up
 
 # ----------------------------------------------------------------------------------
 # Forward: streaming logsumexp

@@ -230,7 +230,10 @@ def compute_dataset_loss(
         if put_batch is not None:
             arrays = put_batch(batch)
         else:
-            keys = ["tokens", "labels"] + [k for k in ("segment_ids", "positions") if k in batch]
+            has_seg, has_pos = "segment_ids" in batch, "positions" in batch
+            if has_seg != has_pos:
+                raise ValueError("Packed batches must carry BOTH segment_ids and positions (got one without the other)")
+            keys = ["tokens", "labels"] + (["segment_ids", "positions"] if has_seg else [])
             arrays = tuple(jnp.asarray(batch[k]) for k in keys)
         loss_sum, ntok = eval_step(params, *arrays)
         loss_running += float(loss_sum)

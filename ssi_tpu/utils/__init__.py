@@ -53,6 +53,11 @@ def ref_from_hf_dataset(dataset: str, split: str, gt_transcript_colname: str = "
 ################################################################################
 
 
+def round_up(n: int, multiple: int) -> int:
+    """Smallest multiple of ``multiple`` >= n (shape/bucket alignment helper)."""
+    return ((n + multiple - 1) // multiple) * multiple
+
+
 def parse_model_path(model_dir: Path, experiments_root_dir: Path) -> dict[str, Any]:
     """Parse a canonical model directory path (ref: ssi/utils.py:55-77)."""
     if not model_dir.is_relative_to(experiments_root_dir):

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ssi_tpu.checkpoint.convert import expected_hf_keys, hf_to_internal, internal_to_hf
-from ssi_tpu.models.llama3 import forward, forward_with_cache, init_kv_cache, init_params, logits
+from ssi_tpu.models.llama3 import forward, forward_slots, init_kv_cache, init_params, logits
 from tests import helpers
 
 
@@ -82,7 +82,7 @@ def test_logits_match_transformers(tiny_setup):
 
 
 def test_kv_cache_decode_matches_full_forward(tiny_setup):
-    """Prefill+decode through the cache must equal the full forward pass."""
+    """Prefill+decode through the canonical cache path must equal the full forward."""
     cfg, params = tiny_setup
     rng = np.random.default_rng(1)
     b, prompt_len, extra = 2, 12, 4
@@ -91,18 +91,30 @@ def test_kv_cache_decode_matches_full_forward(tiny_setup):
     full_hidden = forward(params, jnp.asarray(tokens), cfg, attn_impl="xla", remat=False)
     full_logits = np.asarray(logits(params, full_hidden))
 
-    cache = init_kv_cache(cfg, b, max_len=32, dtype=jnp.float32)
-    pos = jnp.zeros((b,), jnp.int32)
-    hidden, cache = forward_with_cache(params, jnp.asarray(tokens[:, :prompt_len]), cfg, cache, pos)
+    cache = {k: v[:, :, :32] for k, v in init_kv_cache(cfg, b, max_len=32, dtype=jnp.float32).items()}
+    offsets = jnp.zeros((b,), jnp.int32)  # no left padding
+    hidden, cache = forward_slots(params, jnp.asarray(tokens[:, :prompt_len]), cfg, cache, jnp.int32(0), offsets, prompt_len)
     step_logits = [np.asarray(logits(params, hidden[:, -1:, :]))]
     for t in range(extra):
-        pos_t = jnp.full((b,), prompt_len + t, jnp.int32)
-        hidden, cache = forward_with_cache(params, jnp.asarray(tokens[:, prompt_len + t : prompt_len + t + 1]), cfg, cache, pos_t)
+        hidden, cache = forward_slots(
+            params, jnp.asarray(tokens[:, prompt_len + t : prompt_len + t + 1]), cfg, cache,
+            jnp.int32(prompt_len + t), offsets, 1,
+        )
         step_logits.append(np.asarray(logits(params, hidden)))
 
     # logits at positions prompt_len-1 .. prompt_len+extra-1
     stacked = np.concatenate(step_logits, axis=1)
     np.testing.assert_allclose(stacked, full_logits[:, prompt_len - 1 :, :], rtol=1e-4, atol=1e-4)
+
+    # left-padded variant: same decode through pad offsets must match the unpadded one
+    pad = 6
+    padded = np.concatenate([np.zeros((b, pad), np.int32), tokens[:, :prompt_len]], axis=1)
+    cache2 = {k: v[:, :, : 32 + pad] for k, v in init_kv_cache(cfg, b, max_len=32 + pad, dtype=jnp.float32).items()}
+    offs = jnp.full((b,), pad, jnp.int32)
+    hidden2, _ = forward_slots(params, jnp.asarray(padded), cfg, cache2, jnp.int32(0), offs, prompt_len + pad)
+    np.testing.assert_allclose(
+        np.asarray(logits(params, hidden2[:, -1:, :])), step_logits[0], rtol=1e-4, atol=1e-4
+    )
 
 
 def test_segment_ids_isolate_packed_sequences(tiny_setup):
