@@ -126,3 +126,41 @@ def test_resume_consumed_samples_and_counters(model_dir, tmp_path, monkeypatch):
     assert t2.consumed_samples == t_full.consumed_samples
     assert t2.tokens_train_total == t_full.tokens_train_total
     assert dict(t2.token_type_counts_total) == dict(t_full.token_type_counts_total)
+
+
+def test_resume_across_epoch_boundary(model_dir, tmp_path, monkeypatch):
+    """Interrupt in epoch 0, resume into epochs 1-2: epochs_run derivation, sampler
+    reshuffle, and per-epoch dataset state must all line up bitwise."""
+    import datasets as hfd
+
+    import ssi_tpu.data as data_mod
+
+    # small dataset -> steps_per_epoch = 16 rows / batch 2 / accum 2 = 4
+    rows = helpers.synthetic_sft_rows(16)
+    monkeypatch.setattr(data_mod, "load_hf_dataset", lambda source, **kw: hfd.Dataset.from_list(rows))
+
+    total, save_at = 10, 4  # 10 steps = 2.5 epochs; save exactly at the epoch-0 end
+    _, losses_full, _ = run_trainer(model_dir, tmp_path / "full", total, save_steps=2)
+    assert len(losses_full) == total
+
+    _, losses_a, _ = run_trainer(model_dir, tmp_path / "int", save_at, save_steps=2)
+    t2, losses_b, _ = run_trainer(
+        model_dir=tmp_path / "int" / f"step_{save_at}",
+        ckpt_dir=tmp_path / "res",
+        max_steps=total,
+        training_state=tmp_path / "int" / "training_state.msgpack",
+        save_steps=2,
+    )
+    assert t2.global_step == total
+    assert losses_a + losses_b == losses_full
+
+    # and a mid-epoch-1 interruption (step 6 = epoch 1, step 2 of 4)
+    _, losses_c, _ = run_trainer(model_dir, tmp_path / "int6", 6, save_steps=2)
+    t3, losses_d, _ = run_trainer(
+        model_dir=tmp_path / "int6" / "step_6",
+        ckpt_dir=tmp_path / "res6",
+        max_steps=total,
+        training_state=tmp_path / "int6" / "training_state.msgpack",
+        save_steps=2,
+    )
+    assert losses_c + losses_d == losses_full
