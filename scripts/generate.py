@@ -34,10 +34,14 @@ def main(argv: list[str]) -> None:
 
     train_cfg = None
     if cfg.get("train_yaml") is None:
-        train_yaml_rundir = Path(cfg.model).parents[1] / TRAIN_CONFIG_FILENAME
-        if train_yaml_rundir.exists():
-            train_cfg = load_yaml(train_yaml_rundir)
-            LOGGER.warning(f"Loaded training config from {train_yaml_rundir!s}")
+        # our layout: .../checkpoints/step_N -> snapshot in parents[0] (the checkpoints
+        # dir); the reference's epoch_X/global_step_N layout put it at parents[1]
+        for parent_idx in (0, 1):
+            train_yaml_rundir = Path(cfg.model).parents[parent_idx] / TRAIN_CONFIG_FILENAME
+            if train_yaml_rundir.exists():
+                train_cfg = load_yaml(train_yaml_rundir)
+                LOGGER.warning(f"Loaded training config from {train_yaml_rundir!s}")
+                break
     else:
         train_cfg = load_yaml(cfg.train_yaml)
 
@@ -56,13 +60,19 @@ def main(argv: list[str]) -> None:
     if cfg.get("data") is None:
         if train_cfg is None:
             raise RuntimeError("No data config selected and no training config found to infer it from.")
-        _owner, train_dataset = train_cfg["data"]["train"]["dataset"]["source"].split("/")
+        source = train_cfg["data"]["train"]["dataset"]["source"]
+        if "/" not in source or source.count("/") != 1:
+            raise RuntimeError(
+                f"Cannot infer a data config from training source {source!r} (not an owner/name HF repo id); "
+                "select one explicitly, e.g. data=sft/mls-hubert_large_ll60k-layer_22"
+            )
+        _owner, train_dataset = source.split("/")
         if train_dataset.split("-")[0] not in SUPPORTED_DATASETS:
             raise RuntimeError(f"Unsupported dataset for generation: {train_dataset}")
         cfg_data_path = (CONF_DIR / TEST_CONFIG_GROUPS_SUBDIR / train_dataset).with_suffix(".yaml")
         if not cfg_data_path.exists():
             raise RuntimeError(f"Cannot find test dataset config at {cfg_data_path}.")
-        composed = compose(str(CONF_DIR), "generate", overrides=argv + [f"data={TEST_CONFIG_GROUPS_SUBDIR}/{train_dataset}"])
+        composed = compose(str(CONF_DIR), "generate", overrides=argv + [f"data=sft/{train_dataset}"])
         composed.speech.n_dsus = cfg.speech.n_dsus
         cfg = composed
 

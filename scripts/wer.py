@@ -48,12 +48,21 @@ def main(args: Namespace) -> None:
         with open(wer_json) as f:
             _wer_json_contents = pformat(json.load(f))
         raise FileExistsError(f"Output WER JSON already exists: {wer_json} with contents: " + _wer_json_contents)
+    # Path layout: .../<dataset>/<split>/generations.jsonl, or with an extra
+    # cfg-hash subdir: .../<dataset>/<split>/<hash>/generations.jsonl
+    known_splits = {"train", "dev", "test", "validation"}
+    parents = args.generations_jsonl.parents
+    shift = 0 if parents[0].name in known_splits or parents[1].name not in known_splits else 1
     if args.dataset is None:
-        args.dataset = args.generations_jsonl.parents[1].name
-        assert args.dataset.split("-")[0] in SUPPORTED_DATASETS
+        args.dataset = parents[1 + shift].name
+        if args.dataset.split("-")[0] not in SUPPORTED_DATASETS:
+            raise ValueError(
+                f"Inferred dataset {args.dataset!r} from path is not in {sorted(SUPPORTED_DATASETS)}; "
+                "pass --dataset explicitly."
+            )
         LOGGER.info(f"Inferred dataset from path: {args.dataset}")
     if args.split is None:
-        args.split = args.generations_jsonl.parent.name
+        args.split = parents[shift].name
         LOGGER.info(f"Inferred split from path: {args.split}")
     generated = extract_texts_from_generations_jsonl(args.generations_jsonl)
     reference = ref_from_hf_dataset(args.dataset, args.split, args.gt_transcript_colname)

@@ -73,7 +73,12 @@ def run_generation(cfg: Any) -> Path:
     special_int2str = {v: k for k, v in special_tokens.items()}
     stop_token_ids = cfg.sampling_params.get("stop_token_ids")
     if stop_token_ids is None:
-        stop_token_ids = [tokenizer.eom_id, tokenizer.eot_id, tokenizer.eos_id]
+        stop_token_ids = list(tokenizer.stop_tokens)  # {eos, eom, eot} (ref: scripts/generate.py:87)
+
+    # Normalize the config BEFORE hashing so the cfg-hash subdir matches the snapshot.
+    if not cfg.data[cfg.gen.split].dataset.inference:
+        cfg.data[cfg.gen.split].dataset.inference = True
+        LOGGER.warning("Auto-setting dataset to inference mode.")
 
     # HF repo ids are owner/name; local data-file types ("json", "csv") have no owner
     gen_dataset_name = cfg.data[cfg.gen.split].dataset.source.split("/")[-1]
@@ -81,10 +86,6 @@ def run_generation(cfg: Any) -> Path:
     if cfg.gen.use_cfg_hash_subdir:
         gen_output_dir = gen_output_dir / hash_cfg(cfg)
     gen_output_dir.mkdir(parents=True, exist_ok=False)  # fail early if it already exists
-
-    if not cfg.data[cfg.gen.split].dataset.inference:
-        cfg.data[cfg.gen.split].dataset.inference = True
-        LOGGER.warning("Auto-setting dataset to inference mode.")
 
     cfg_yaml = to_yaml(cfg, resolve=True)
     with open(gen_output_dir / cfg.gen.output_config_filename, "x") as f:

@@ -27,7 +27,9 @@ from __future__ import annotations
 _BMP_PUA_START = 0xE000
 _BMP_PUA_SIZE = 0xF8FF - 0xE000 + 1  # 6400 codepoints
 _PLANE15_PUA_START = 0xF0000
-_PLANE15_PUA_SIZE = 0xFFFFD - 0xF0000 + 1  # 65534 codepoints
+# Plane-15 DSU range stops at 0xFFFFB: the last two codepoints are reserved for the
+# modality boundary tokens so a maximal codebook can never collide with them.
+_PLANE15_PUA_SIZE = 0xFFFFB - 0xF0000 + 1  # 65532 codepoints
 
 MAX_DSUS = _BMP_PUA_SIZE + _PLANE15_PUA_SIZE
 

@@ -128,9 +128,7 @@ class WandBLogger(JsonlLogger):
 
 def setup_metric_logger(cfg_wandb: Any, tags: list[str] | None = None, log_dir: Path | str | None = None):
     """W&B if importable and enabled, else JSONL (always works offline)."""
-    kwargs = dict(cfg_wandb) if cfg_wandb is not None else {}
-    if hasattr(cfg_wandb, "items"):
-        kwargs = {k: v for k, v in cfg_wandb.items()}
+    kwargs = {k: v for k, v in cfg_wandb.items()} if cfg_wandb is not None else {}
     enabled = kwargs.pop("enabled", True)
     if enabled:
         try:

@@ -90,6 +90,10 @@ class Trainer:
 
         # Training counters (host mirrors of device state)
         self.global_step: int = 0
+        # Accumulation windows consumed, INCLUDING zero-token windows that apply no
+        # optimizer update: the resume data position derives from this, not from
+        # global_step, so skipped windows cannot desynchronize step-to-data mapping.
+        self.consumed_windows: int = 0
         self.consumed_samples: int = 0
         self.tokens_train_total: int = 0
         self.token_type_counts_total: defaultdict[str, int] = defaultdict(int)
@@ -237,6 +241,8 @@ class Trainer:
         if self._resume_state is None:
             return
         cm = self._resume_state["cumulative_metrics"]
+        # Older states without the counter: every window applied, so it equals global_step.
+        self.consumed_windows = int(cm.get("consumed_windows", self.global_step))
         self.tokens_train_total = int(cm["tokens_train_total"])
         for k, v in cm["token_type_counts"].items():
             self.token_type_counts_total[k] = int(v)
@@ -287,8 +293,8 @@ class Trainer:
         self.t_train_start = time.perf_counter()
         self.t_step_start = time.perf_counter()
 
-        epochs_run = self.global_step // self.geometry.steps_per_epoch
-        batches_to_skip = (self.global_step % self.geometry.steps_per_epoch) * self.cfg.gradient_accumulation_steps
+        epochs_run = self.consumed_windows // self.geometry.steps_per_epoch
+        batches_to_skip = (self.consumed_windows % self.geometry.steps_per_epoch) * self.cfg.gradient_accumulation_steps
 
         if getattr(self, "_resume_rng_state", None) is not None:
             restore_rng_states(self._resume_rng_state)
@@ -352,6 +358,7 @@ class Trainer:
         )
 
         # Host sync point (one per optimizer step)
+        self.consumed_windows += 1
         loss_sum = float(metrics["loss_sum"])
         num_tokens_step = int(metrics["num_tokens"])
         applied = bool(metrics["applied"])
@@ -487,6 +494,7 @@ class Trainer:
                 "tokens_train_total": self.tokens_train_total,
                 "token_type_counts": dict(self.token_type_counts_total),
                 "wall_clock_seconds": self.wall_clock_offset + (time.perf_counter() - self.t_train_start),
+                "consumed_windows": self.consumed_windows,
             },
             rng_state=rng_state,
         )
