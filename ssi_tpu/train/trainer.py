@@ -349,7 +349,26 @@ class Trainer:
         keys = ["tokens", "labels"] + [k for k in ("segment_ids", "positions") if k in window[0]]
         return {k: np.stack([pad_to(b[k], pad_values[k]) for b in window]) for k in keys}
 
+    def _maybe_profile(self) -> None:
+        """Opt-in jax.profiler trace window (a superset of the reference's step-timing
+        observability — SURVEY.md §5). Config: ``profiler: {start_step, num_steps, dir}``."""
+        pcfg = self.cfg.get("profiler")
+        if pcfg is None:
+            return
+        start = int(pcfg.get("start_step", 5))
+        num = int(pcfg.get("num_steps", 3))
+        if self.global_step == start:
+            trace_dir = str(pcfg.get("dir") or Path(self.cfg.checkpointer.output_dir) / "profile")
+            jax.profiler.start_trace(trace_dir)
+            self._profiling = True
+            LOGGER.info(f"jax.profiler trace started -> {trace_dir}")
+        elif getattr(self, "_profiling", False) and self.global_step >= start + num:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            LOGGER.info("jax.profiler trace stopped")
+
     def _optimizer_step(self, epoch: int, iter_idx: int, window: list[dict[str, Any]]) -> None:
+        self._maybe_profile()
         stacked = self._stack_window(window)
         put = {k: jax.device_put(v, self._batch_sharding) for k, v in stacked.items()}
         tokens = put["tokens"]

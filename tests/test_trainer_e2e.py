@@ -149,3 +149,19 @@ def test_wsd_schedule_shape():
     # plateau is independent of total steps (the WSD selling point)
     sched2 = wsd_schedule(1.0, 10, 1000, decay_fraction=0.2, min_lr_ratio=0.1)
     assert float(sched2(50)) == float(sched(50)) == 1.0
+
+
+def test_profiler_hook(tmp_path, synthetic_data):
+    from ssi_tpu.train import Trainer
+
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    cfg_dict = helpers.base_train_cfg_dict(model_dir, tmp_path / "ckpts", kind="sft")
+    cfg_dict["max_steps"] = 4
+    cfg_dict["profiler"] = {"start_step": 1, "num_steps": 2, "dir": str(tmp_path / "trace")}
+    t = Trainer(helpers.make_cfg(cfg_dict))
+    t.setup()
+    t.train()
+    t.cleanup()
+    assert not getattr(t, "_profiling", False)
+    trace_files = list((tmp_path / "trace").rglob("*.pb")) + list((tmp_path / "trace").rglob("*.json.gz"))
+    assert trace_files, "profiler trace files must exist"
