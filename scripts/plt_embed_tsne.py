@@ -146,9 +146,23 @@ def main(argv: list[str]) -> None:
         LOGGER.info(f"  {token_type}: {start}-{end} ({end - start + 1} tokens)")
     labels, label_names = create_token_type_labels(ranges, embeddings.shape[0])
 
+    # Optional row subsampling: t-SNE over the full 133k-row extended vocab takes
+    # hours; a stratified subsample preserves the token-type structure.
+    max_points = int(cfg.tsne.get("max_points", 0) or 0)
+    if max_points and embeddings.shape[0] > max_points:
+        rng = np.random.default_rng(SEED)
+        keep = np.sort(rng.choice(embeddings.shape[0], size=max_points, replace=False))
+        embeddings_plot, labels_plot = embeddings[keep], labels[keep]
+        LOGGER.info(f"Subsampled embeddings for t-SNE: {max_points}/{len(labels)} rows")
+    else:
+        embeddings_plot, labels_plot = embeddings, labels
+
+    n_pca = int(cfg.tsne.get("n_pca_components", 50) or -1)
     for perplexity in cfg.tsne.perplexities:
         try:
-            plot_embeddings(embeddings, labels, label_names, output_dir, int(perplexity))
+            plot_embeddings(
+                embeddings_plot, labels_plot, label_names, output_dir, int(perplexity), n_pca_components=n_pca
+            )
         except Exception as e:  # noqa: PERF203
             LOGGER.error(f"Failed to create t-SNE plot with perplexity {perplexity}: {e}")
 
