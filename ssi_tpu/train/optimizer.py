@@ -33,6 +33,12 @@ class AdamWConfig:
     weight_decay: float = 0.01
     mu_dtype: Any = jnp.bfloat16
     nu_dtype: Any = jnp.float32
+    # Stochastic rounding when storing moments in bf16: round-to-nearest silently
+    # drops moment updates smaller than ~0.4% of the stored value (bf16 has 8
+    # mantissa bits), which freezes slow-moving second moments; rounding up/down
+    # with probability proportional to the remainder keeps the expected value
+    # exact. Deterministic given the step counter (resume-safe).
+    stochastic_rounding: bool = False
 
     @classmethod
     def from_cfg(cls, cfg_optimizer: Any) -> "AdamWConfig":
@@ -46,7 +52,22 @@ class AdamWConfig:
             weight_decay=float(cfg_optimizer.get("weight_decay", 0.01)),
             mu_dtype=dtype_map[cfg_optimizer.get("mu_dtype", "bf16")],
             nu_dtype=dtype_map[cfg_optimizer.get("nu_dtype", "fp32")],
+            stochastic_rounding=bool(cfg_optimizer.get("stochastic_rounding", False)),
         )
+
+
+def _stochastic_round_bf16(x32: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """fp32 -> bf16 with stochastic rounding (add uniform low bits, truncate)."""
+    bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
+    noise = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+
+
+def _store(x32: jnp.ndarray, dtype: Any, key: jax.Array | None) -> jnp.ndarray:
+    if key is not None and dtype == jnp.bfloat16:
+        return _stochastic_round_bf16(x32, key)
+    return x32.astype(dtype)
 
 
 def init_opt_state(params: Params, cfg: AdamWConfig) -> dict[str, Any]:
@@ -73,8 +94,9 @@ def adamw_update(
     c = count.astype(jnp.float32)
     bias_c1 = 1.0 - cfg.b1**c
     bias_c2 = 1.0 - cfg.b2**c
+    base_key = jax.random.fold_in(jax.random.key(0x5AD), count) if cfg.stochastic_rounding else None
 
-    def leaf_update(p, g, mu, nu):
+    def leaf_update(i, p, g, mu, nu):
         g32 = g.astype(jnp.float32)
         mu32 = cfg.b1 * mu.astype(jnp.float32) + (1.0 - cfg.b1) * g32
         nu32 = cfg.b2 * nu.astype(jnp.float32) + (1.0 - cfg.b2) * (g32 * g32)
@@ -82,13 +104,17 @@ def adamw_update(
         denom = jnp.sqrt(nu32 / bias_c2) + cfg.eps
         p32 = p.astype(jnp.float32)
         p32 = p32 - lr * (mhat / denom + cfg.weight_decay * p32)
-        return p32.astype(p.dtype), mu32.astype(cfg.mu_dtype), nu32.astype(cfg.nu_dtype)
+        if base_key is not None:
+            k_mu, k_nu = jax.random.split(jax.random.fold_in(base_key, i))
+        else:
+            k_mu = k_nu = None
+        return p32.astype(p.dtype), _store(mu32, cfg.mu_dtype, k_mu), _store(nu32, cfg.nu_dtype, k_nu)
 
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = treedef.flatten_up_to(grads)
     flat_mu = treedef.flatten_up_to(opt_state["mu"])
     flat_nu = treedef.flatten_up_to(opt_state["nu"])
-    new = [leaf_update(p, g, mu, nu) for p, g, mu, nu in zip(flat_p, flat_g, flat_mu, flat_nu)]
+    new = [leaf_update(i, p, g, mu, nu) for i, (p, g, mu, nu) in enumerate(zip(flat_p, flat_g, flat_mu, flat_nu))]
     new_params = jax.tree.unflatten(treedef, [x[0] for x in new])
     new_mu = jax.tree.unflatten(treedef, [x[1] for x in new])
     new_nu = jax.tree.unflatten(treedef, [x[2] for x in new])
