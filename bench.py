@@ -82,14 +82,12 @@ def main() -> None:
     tokens_d = jax.device_put(tokens, bsh)
     labels_d = jax.device_put(labels, bsh)
 
-    # num non-ignored label tokens per step: shift drops the last position per row
-    tokens_per_step = ACCUM * BATCH * (SEQ - 1)
-
     # Per-step host sync via float(): block_until_ready alone does not reliably
     # drain the async queue through the axon remote-TPU tunnel.
     for _ in range(WARMUP):
         state, metrics = step(state, tokens_d, labels_d)
         float(metrics["loss_sum"])
+    tokens_per_step = int(metrics["num_tokens"])  # ground truth from the step itself
 
     t0 = time.perf_counter()
     for _ in range(STEPS):

@@ -15,7 +15,7 @@ import sys
 
 import numpy as np
 
-from ssi_tpu.checkpoint import Checkpointer
+from ssi_tpu.checkpoint import SUFFIXES_TO_NOT_COPY, Checkpointer
 from ssi_tpu.constants import (
     EXTENDED_MODELS_DIR,
     LLAMA_3_2_1B_BASE_DIR,
@@ -101,8 +101,7 @@ def main(args: Namespace) -> None:
         extended_cfg,
         global_step=0,
         output_dir=args.output_dir,
-        ignore_suffixes=[".safetensors", ".bin", ".pt", ".msgpack", ".index.json", ".lock", ".txt", ".md",
-                         "tokenizer_config.json", "tokenizer.json"],
+        ignore_suffixes=[*SUFFIXES_TO_NOT_COPY, ".pth", ".txt", ".md", "tokenizer_config.json", "tokenizer.json"],
     )
 
     # Extend tokenizer in place in the output dir

@@ -136,7 +136,15 @@ def check_outdir_not_in_ckptdir(ckpt_dir: Path, out_dir: Path) -> None:
 
 
 def copy_files(src_dir: Path, dst_dir: Path, ignore_suffixes: tuple[str, ...] | list[str]) -> None:
-    """Copy non-weight files (config, tokenizer, etc.) so step dirs are self-contained."""
+    """Copy non-weight files (config, tokenizer, etc.) so step dirs are self-contained.
+
+    The suffix filter applies recursively: e.g. ``original/consolidated.00.pth``
+    (2.4 GB of Meta-format base weights) must not ride along into extended/step dirs.
+    """
+
+    def ignored(_dir: str, names: list[str]) -> list[str]:
+        return [n for n in names if n.startswith(".") or any(n.endswith(s) for s in ignore_suffixes)]
+
     dst_dir.mkdir(parents=True, exist_ok=True)
     for item in src_dir.iterdir():
         if item.name.startswith("."):
@@ -146,7 +154,7 @@ def copy_files(src_dir: Path, dst_dir: Path, ignore_suffixes: tuple[str, ...] | 
         if item.is_dir():
             if item.name.startswith("step_"):
                 continue
-            shutil.copytree(item, dst_dir / item.name, dirs_exist_ok=True)
+            shutil.copytree(item, dst_dir / item.name, dirs_exist_ok=True, ignore=ignored)
         else:
             shutil.copy2(item, dst_dir / item.name)
 

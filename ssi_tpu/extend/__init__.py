@@ -99,11 +99,16 @@ def gaussian_from_embeddings(weights: np.ndarray, sigma_scaling: float = 1e-5):
     ssi/extend_llama3_2/__init__.py:96): samples are drawn from
     ``N(mean, sigma_scaling * cov)`` via Cholesky.
     """
-    weights = np.asarray(weights, dtype=np.float64)
+    weights = np.asarray(weights)
     n, d = weights.shape
-    mean = weights.mean(axis=0)
-    centered = weights - mean
-    cov = (centered.T @ centered) / n
+    mean = weights.mean(axis=0, dtype=np.float64)
+    # Chunked fp64-accumulated covariance: avoids materializing a full fp64 copy
+    # plus a centered copy (~4 GB transient for the 128k x 2048 base embeddings).
+    cov = np.zeros((d, d), np.float64)
+    for start in range(0, n, 8192):
+        chunk = weights[start : start + 8192].astype(np.float64) - mean
+        cov += chunk.T @ chunk
+    cov /= n
     scaled = sigma_scaling * cov
     # Jitter for numerical PD-ness (covariances of near-collinear rows)
     jitter = 1e-12 * np.eye(d)

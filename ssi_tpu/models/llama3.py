@@ -54,15 +54,9 @@ def _block(
     v = (x @ layer["wv"]).reshape(b, s, cfg.num_kv_heads, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    from ssi_tpu.ops.attention import AUTO_PALLAS_MIN_SEQ
+    from ssi_tpu.ops.attention import dispatch_attention
 
-    use_pallas = attn_impl == "pallas" or (attn_impl == "auto" and s >= AUTO_PALLAS_MIN_SEQ)
-    if use_pallas:
-        from ssi_tpu.ops.flash_attention import flash_attention
-
-        attn = flash_attention(q, k, v, causal=True, segment_ids=segment_ids)
-    else:
-        attn = xla_attention(q, k, v, causal=True, segment_ids=segment_ids)
+    attn = dispatch_attention(q, k, v, causal=True, segment_ids=segment_ids, impl=attn_impl)
     h = h + attn.reshape(b, s, cfg.num_heads * hd) @ layer["wo"]
 
     x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)

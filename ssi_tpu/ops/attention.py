@@ -81,6 +81,27 @@ def xla_attention(
 AUTO_PALLAS_MIN_SEQ = 4096
 
 
+def dispatch_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    segment_ids: jnp.ndarray | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Resolve and run the attention backend (shared by the model and the jitted API)."""
+    if impl == "auto":
+        impl = "pallas" if q.shape[1] >= AUTO_PALLAS_MIN_SEQ else "xla"
+    if impl == "xla":
+        return xla_attention(q, k, v, causal=causal, segment_ids=segment_ids)
+    if impl == "pallas":
+        from ssi_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal, segment_ids=segment_ids)
+    raise ValueError(f"Unknown attention impl: {impl!r}")
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "impl"))
 def attention(
     q: jnp.ndarray,
@@ -91,13 +112,5 @@ def attention(
     segment_ids: jnp.ndarray | None = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Dispatch to the configured attention backend."""
-    if impl == "auto":
-        impl = "pallas" if q.shape[1] >= AUTO_PALLAS_MIN_SEQ else "xla"
-    if impl == "xla":
-        return xla_attention(q, k, v, causal=causal, segment_ids=segment_ids)
-    if impl == "pallas":
-        from ssi_tpu.ops.flash_attention import flash_attention
-
-        return flash_attention(q, k, v, causal=causal, segment_ids=segment_ids)
-    raise ValueError(f"Unknown attention impl: {impl!r}")
+    """Jitted entry point over :func:`dispatch_attention`."""
+    return dispatch_attention(q, k, v, causal=causal, segment_ids=segment_ids, impl=impl)

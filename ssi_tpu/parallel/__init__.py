@@ -49,6 +49,8 @@ def make_mesh(dp: int | None = None, tp: int = 1, devices: list | None = None) -
         dp = n // tp
     if dp * tp > n:
         raise ValueError(f"Requested dp*tp = {dp * tp} exceeds available devices ({n})")
+    if dp * tp < n:
+        LOGGER.warning(f"Mesh dp={dp} x tp={tp} uses {dp * tp} of {n} available devices; the rest stay idle.")
     device_grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(device_grid, axis_names=("dp", "tp"))
 
