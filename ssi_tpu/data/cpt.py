@@ -84,14 +84,15 @@ class TextCompletionDataset:
         speech_tokens_key: str | None = None,
         filter_fn: Callable | None = None,
         interleave_kwargs: dict[str, Any] | None = None,
+        **load_dataset_kwargs: Any,
     ) -> None:
         self._tokenizer = tokenizer
         from ssi_tpu.data import load_hf_dataset, load_dataset_subset
 
         if n_samples is not None:
-            self._data = load_dataset_subset(source, n_samples, split=split)
+            self._data = load_dataset_subset(source, n_samples, split=split, **load_dataset_kwargs)
         else:
-            self._data = load_hf_dataset(source, split=split)
+            self._data = load_hf_dataset(source, split=split, **load_dataset_kwargs)
         self.add_eos = add_eos
 
         self.keys = {
