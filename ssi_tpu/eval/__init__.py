@@ -7,9 +7,9 @@ normalization (ref: scripts/wer.py:59-73). Neither jiwer nor the standalone
 - :func:`word_error_rate` is a first-party corpus-level WER (total edit distance /
   total reference words) — the same definition jiwer/evaluate implement.
 - :func:`english_normalizer` returns transformers' vendored Whisper
-  ``EnglishTextNormalizer``. Divergence note: the British->American spelling
-  mapping JSON (normally fetched from the HF hub) is unavailable offline, so
-  spelling normalization is a no-op unless a mapping is supplied.
+  ``EnglishTextNormalizer`` with the vendored British->American spelling mapping
+  (``english_spelling.json``, a first-party reconstruction of Whisper's
+  ``english.json`` — see :func:`load_spelling_mapping` for scope and caveats).
 """
 
-from ssi_tpu.eval.wer import english_normalizer, word_error_rate  # noqa: F401
+from ssi_tpu.eval.wer import english_normalizer, load_spelling_mapping, word_error_rate  # noqa: F401

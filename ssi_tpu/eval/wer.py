@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Callable, Iterable
 
 
@@ -46,13 +48,31 @@ def word_error_rate(references: Iterable[str], hypotheses: Iterable[str]) -> flo
     return total_edits / total_words
 
 
+def load_spelling_mapping() -> dict[str, str]:
+    """Vendored British->American spelling mapping (Whisper's ``english.json`` role).
+
+    The upstream asset (openai/whisper ``english.json``, ~1.7k entries derived from
+    the tysto UK-US list) is hub-hosted and unavailable offline, so this is a
+    first-party reconstruction (~1k entries) covering the systematic classes
+    (-ise/-ize, -yse/-yze, -our/-or, -re/-er, doubled-l inflections, -ence/-ense,
+    ae/oe reduction) plus well-attested irregulars. Entries are whole-word,
+    lowercase, applied post-tokenization by ``EnglishSpellingNormalizer`` exactly
+    as the reference does (ref: scripts/wer.py:61-64).
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "english_spelling.json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
 def english_normalizer(spelling_mapping: dict[str, str] | None = None) -> Callable[[str], str]:
     """Whisper EnglishTextNormalizer (transformers' vendored implementation).
 
     ref: scripts/wer.py:61-64 uses whisper_normalizer.english.EnglishTextNormalizer;
     transformers ships the identical class. ``spelling_mapping`` (British->American)
-    defaults to empty because the upstream JSON is hub-hosted (offline divergence).
+    defaults to the vendored :func:`load_spelling_mapping`; pass ``{}`` to disable.
     """
     from transformers.models.whisper.english_normalizer import EnglishTextNormalizer
 
-    return EnglishTextNormalizer(spelling_mapping or {})
+    if spelling_mapping is None:
+        spelling_mapping = load_spelling_mapping()
+    return EnglishTextNormalizer(spelling_mapping)

@@ -61,7 +61,7 @@ def make_loss_fn(
     model_cfg: ConfigLlama3_2,
     *,
     attn_impl: str = "auto",
-    remat: bool = True,
+    remat: bool | str = True,
     chunk_size: int = 1024,
 ) -> Callable:
     """(params, tokens [B,S], labels [B,S], segment_ids?, positions?) ->
@@ -93,11 +93,18 @@ def count_token_types_device(
     ranges: dict[str, tuple[int, int]],
     pad_id: int,
 ) -> dict[str, jnp.ndarray]:
-    """Device-side token-type accounting (ref: ssi/train_utils.py:150-165)."""
+    """Device-side token-type accounting (ref: ssi/train_utils.py:150-165).
+
+    Padding positions (``tokens == pad_id``) are excluded from every range so the
+    ``n_tokens.*`` curves are invariant to the padding policy (batch-max vs fixed
+    max_seq_len) and comparable across runs — the reference's batch-max padding
+    would otherwise skew ``special_text`` by the pad count.
+    """
     counts = {}
+    real = tokens != pad_id
     for token_type, (start, end) in ranges.items():
-        counts[token_type] = jnp.sum((tokens >= start) & (tokens <= end)).astype(jnp.int32)
-    counts["total"] = jnp.sum(tokens != pad_id).astype(jnp.int32)
+        counts[token_type] = jnp.sum((tokens >= start) & (tokens <= end) & real).astype(jnp.int32)
+    counts["total"] = jnp.sum(real).astype(jnp.int32)
     return counts
 
 
@@ -110,7 +117,7 @@ def make_train_step(
     token_type_ranges: dict[str, tuple[int, int]] | None = None,
     pad_id: int = 0,
     attn_impl: str = "auto",
-    remat: bool = True,
+    remat: bool | str = True,
     chunk_size: int = 1024,
     grad_accum_dtype=jnp.float32,
     donate: bool = True,

@@ -143,10 +143,16 @@ def get_token_type_ranges(llama_config: ConfigLlama3_2) -> dict[str, tuple[int, 
 
 
 def count_token_types(tokens: np.ndarray, ranges: dict[str, tuple[int, int]], pad_idx: int) -> dict[str, int]:
-    """Host-side token-type counts (ref: ssi/train_utils.py:150-165)."""
+    """Host-side token-type counts (ref: ssi/train_utils.py:150-165).
+
+    Padding positions are excluded from every range (see
+    :func:`ssi_tpu.train.step.count_token_types_device`) so counts are
+    padding-policy-invariant.
+    """
     tokens = np.asarray(tokens)
     counts = {}
+    real = tokens != pad_idx
     for token_type, (start, end) in ranges.items():
-        counts[token_type] = int(((tokens >= start) & (tokens <= end)).sum())
-    counts["total"] = int((tokens != pad_idx).sum())
+        counts[token_type] = int(((tokens >= start) & (tokens <= end) & real).sum())
+    counts["total"] = int(real.sum())
     return counts

@@ -279,7 +279,7 @@ class Trainer:
             token_type_ranges=self.token_type_ranges,
             pad_id=self.tokenizer.pad_id,
             attn_impl=attn_impl,
-            remat=bool(self.cfg.get("remat", True)),
+            remat=self.cfg.get("remat", True),  # bool or a REMAT_POLICIES name
             chunk_size=chunk_size,
             grad_accum_dtype=accum_dtype,
         )

@@ -91,6 +91,25 @@ def test_token_counts_match_host_computation(trainer):
         assert int(dev_counts[k]) == v
 
 
+def test_token_counts_padding_invariant(trainer):
+    """Counts for the same samples are identical however much padding is appended
+    (VERDICT r1 item 7: pad tokens must not leak into the special_text range)."""
+    import numpy as np
+
+    from ssi_tpu.train.train_utils import count_token_types
+
+    trainer.setup()
+    batch = next(iter(trainer.data_train))
+    tokens = np.asarray(batch["tokens"])
+    pad_id = trainer.tokenizer.pad_id
+
+    counts = count_token_types(tokens, trainer.token_type_ranges, pad_id)
+    extra = np.full((tokens.shape[0], 37), pad_id, tokens.dtype)
+    counts_padded = count_token_types(np.concatenate([tokens, extra], axis=1), trainer.token_type_ranges, pad_id)
+    assert counts == counts_padded
+    assert counts["total"] == sum(v for k, v in counts.items() if k != "total")
+
+
 def test_cpt_trainer_runs(tmp_path, synthetic_data):
     from ssi_tpu.train import Trainer
 
