@@ -3,10 +3,19 @@
 
 Measures the reference's own headline metric — ``tokens_per_second_per_gpu``
 (non-ignored label tokens per optimizer-step wall second; ref: ssi/trainer.py:467) —
-for the extended-vocab 1B model at the CPT shape (batch 16, seq 768, bf16,
-n_dsus=5000 -> vocab 133258).
+for the extended-vocab 1B model at the CPT optimizer-step shape (64 sequences x
+seq 768 per step, bf16, n_dsus=5000 -> vocab 133258).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Micro-batching is an implementation knob with identical optimizer semantics (the
+window consumes the same 64 consecutive samples and normalizes the loss by the
+window token count, ref: ssi/trainer.py:391-404): the TPU-tuned configuration is
+micro-batch 4 x accum 16 with selective rematerialization ("save_qkv_mlp" keeps
+the QKV and MLP matmul outputs resident, skipping ~64% of backward recompute
+FLOPs) and single-chunk fused CE — measured 13.2k vs 10.6k tokens/s for the
+naive bs16 x accum4 full-remat layout (tools/bench_sweep.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"} where
+extra carries the SFT-shape and packed-CPT throughputs (packed must be >= dense).
 
 Baseline: the reference publishes no number (BASELINE.md). We use an engineering
 estimate of 1x A6000 torch-eager throughput for this exact workload:
@@ -32,14 +41,17 @@ import numpy as np
 
 BASELINE_TOKENS_PER_SEC = 12_000.0  # 2x estimated A6000 eager throughput (see docstring)
 
-BATCH = 16
-SEQ = 768
-ACCUM = 4  # reference default (conf/training.yaml); optimizer cost amortizes over the window
 WARMUP = 3
 STEPS = 10
 
+# (micro_batch, accum, seq, remat, ce_chunk) per workload; optimizer-window token
+# counts match the reference defaults (CPT: bs16 x accum4 x 768; SFT: bs2 x accum4
+# x 2048 — conf/training.yaml grad_accum 4, conf/data/_*_base.yaml batch sizes).
+CPT_SHAPE = (4, 16, 768, "save_qkv_mlp", 3072)
+SFT_SHAPE = (2, 4, 2048, "save_qkv_mlp", 2048)
 
-def main() -> None:
+
+def _measure(shape, packed: bool = False, steps: int = STEPS) -> float:
     from ssi_tpu.models.configs import configllama3_2_1b
     from ssi_tpu.models.llama3 import init_params
     from ssi_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated, shard_params
@@ -47,6 +59,7 @@ def main() -> None:
     from ssi_tpu.train.optimizer import AdamWConfig, init_opt_state
     from ssi_tpu.train.step import make_train_step
 
+    batch, accum, seq, remat, chunk = shape
     cfg = configllama3_2_1b.copy()
     cfg.n_dsus = 5000
     cfg.modality_tokens = True
@@ -71,38 +84,57 @@ def main() -> None:
 
     schedule = cosine_schedule_with_warmup(2e-4, 1000, 100_000)
     step = make_train_step(
-        cfg, opt_cfg, schedule, clip_grad_norm=None, chunk_size=1024,
+        cfg, opt_cfg, schedule, clip_grad_norm=None, chunk_size=chunk,
+        remat=remat,
         grad_accum_dtype=jnp.bfloat16,  # torch-parity: reference accumulates in bf16 .grad buffers
     )
 
     rng = np.random.default_rng(0)
-    tokens = rng.integers(0, cfg.vocab_size, (ACCUM, BATCH, SEQ)).astype(np.int32)
+    tokens = rng.integers(0, cfg.vocab_size, (accum, batch, seq)).astype(np.int32)
     labels = tokens.copy()
     bsh = batch_sharding(mesh)
-    tokens_d = jax.device_put(tokens, bsh)
-    labels_d = jax.device_put(labels, bsh)
+    args = [jax.device_put(tokens, bsh), jax.device_put(labels, bsh)]
+    if packed:
+        # two packed segments per row (the packed-CPT path: segment-masked
+        # attention + boundary-stopped label shift)
+        seg = np.ones((accum, batch, seq), np.int32)
+        seg[..., seq // 2:] = 2
+        pos = np.concatenate(
+            [np.arange(seq // 2, dtype=np.int32), np.arange(seq - seq // 2, dtype=np.int32)]
+        )
+        pos = np.broadcast_to(pos, (accum, batch, seq)).copy()
+        args += [jax.device_put(seg, bsh), jax.device_put(pos, bsh)]
 
     # Per-step host sync via float(): block_until_ready alone does not reliably
     # drain the async queue through the axon remote-TPU tunnel.
     for _ in range(WARMUP):
-        state, metrics = step(state, tokens_d, labels_d)
+        state, metrics = step(state, *args)
         float(metrics["loss_sum"])
     tokens_per_step = int(metrics["num_tokens"])  # ground truth from the step itself
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = step(state, tokens_d, labels_d)
+    for _ in range(steps):
+        state, metrics = step(state, *args)
         float(metrics["loss_sum"])
     dt = time.perf_counter() - t0
+    return tokens_per_step * steps / dt / n_chips
 
-    tokens_per_sec_per_chip = tokens_per_step * STEPS / dt / n_chips
+
+def main() -> None:
+    cpt = _measure(CPT_SHAPE)
+    sft = _measure(SFT_SHAPE, steps=6)
+    packed = _measure(CPT_SHAPE, packed=True, steps=6)
     print(
         json.dumps(
             {
                 "metric": "train_tokens_per_second_per_chip_1b_cpt",
-                "value": round(tokens_per_sec_per_chip, 1),
+                "value": round(cpt, 1),
                 "unit": "tokens/s/chip",
-                "vs_baseline": round(tokens_per_sec_per_chip / BASELINE_TOKENS_PER_SEC, 3),
+                "vs_baseline": round(cpt / BASELINE_TOKENS_PER_SEC, 3),
+                "extra": {
+                    "sft_tokens_per_sec_bs2x2048": round(sft, 1),
+                    "packed_cpt_tokens_per_sec": round(packed, 1),
+                },
             }
         )
     )

@@ -17,13 +17,15 @@ HALF_STEPS = 4
 TIMING_KEYS = {"duration_step", "tokens_per_second_per_gpu", "train_clock_time"}
 
 
-def run_trainer(model_dir, ckpt_dir, max_steps, training_state=None, save_steps=HALF_STEPS):
+def run_trainer(model_dir, ckpt_dir, max_steps, training_state=None, save_steps=HALF_STEPS, mesh=None):
     from ssi_tpu.train import Trainer
 
     cfg_dict = helpers.base_train_cfg_dict(model_dir, ckpt_dir, kind="sft")
     cfg_dict["max_steps"] = max_steps
     cfg_dict["save_steps"] = save_steps
     cfg_dict["eval_steps"] = save_steps
+    if mesh is not None:
+        cfg_dict["parallel"] = {"dp": mesh[0], "tp": mesh[1]}
     # Constant LR: a cosine schedule depends on max_steps, which differs between the
     # full and interrupted runs (same choice as ref: tests/test_resume_equivalence.py:128).
     cfg_dict["lr_scheduler"] = None
@@ -90,6 +92,44 @@ def test_resume_equivalence_bitwise(model_dir, tmp_path, monkeypatch):
             if k in TIMING_KEYS:
                 continue
             assert res[k] == v, f"metric {k} diverges at step {rec['step']}: {res[k]} != {v}"
+
+
+@pytest.mark.parametrize(
+    "mesh_a,mesh_b",
+    [
+        ((2, 4), (1, 8)),  # save on dp2xtp4, resume on tp8 (batch_size=2 bounds dp)
+        ((1, 8), (2, 4)),  # ...and the reverse
+        ((1, 1), (2, 4)),  # tp=4 does not divide the tiny vocab (530) -> exercises the
+        #                    _divisible_spec replication fallback with a RESTORED opt state
+    ],
+)
+def test_resume_across_mesh_relayout(model_dir, tmp_path, monkeypatch, mesh_a, mesh_b):
+    """Checkpoints are mesh-layout-free: save under one dp/tp factorization, resume
+    under another, and the loss stream must continue like the uninterrupted run.
+
+    Cross-layout SPMD partitioning changes reduction order, so the contract here is
+    fp32-rounding agreement (same tolerance as tests/test_parallel.py), not the
+    bitwise equality required on an identical topology (VERDICT r1 item 5).
+    """
+    _patch_data(monkeypatch)
+    tag = f"{mesh_a[0]}x{mesh_a[1]}-{mesh_b[0]}x{mesh_b[1]}"
+
+    _, losses_full, _ = run_trainer(model_dir, tmp_path / f"full{tag}", TOTAL_STEPS, mesh=mesh_a)
+
+    _, losses_a, _ = run_trainer(model_dir, tmp_path / f"int{tag}", HALF_STEPS, mesh=mesh_a)
+    t2, losses_b, _ = run_trainer(
+        model_dir=tmp_path / f"int{tag}" / f"step_{HALF_STEPS}",
+        ckpt_dir=tmp_path / f"res{tag}",
+        max_steps=TOTAL_STEPS,
+        training_state=tmp_path / f"int{tag}" / "training_state.msgpack",
+        mesh=mesh_b,
+    )
+    assert t2.global_step == TOTAL_STEPS
+    # first half ran on the same layout as the full run -> bitwise
+    assert losses_a == losses_full[:HALF_STEPS]
+    # second half ran on a different layout -> fp32-rounding agreement
+    for got, want in zip(losses_b, losses_full[HALF_STEPS:]):
+        assert got == pytest.approx(want, rel=1e-5), (losses_b, losses_full[HALF_STEPS:])
 
 
 def test_resume_validates_hparams(model_dir, tmp_path, monkeypatch):

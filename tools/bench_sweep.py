@@ -36,6 +36,10 @@ CONFIGS = {
     "b8a8_save_qkv_mlp": (8, 8, "save_qkv_mlp", 2048),
     "b8a8_save_mlp": (8, 8, "save_mlp", 2048),
     "b4a16_none": (4, 16, "none", 3072),
+    "b2a32_save_qkv_mlp_c1536": (2, 32, "save_qkv_mlp", 1536),
+    "b2a32_none_c1536": (2, 32, "none", 1536),
+    "b8a8_save_qkv_c3072": (8, 8, "save_qkv", 3072),
+    "b4a16_save_mlp_c3072": (4, 16, "save_mlp", 3072),
 }
 
 
