@@ -1,0 +1,402 @@
+"""Continuous-batching decode engine over the block-paged KV cache.
+
+Replaces the fixed-batch convoy (``DecodeEngine``: the whole batch waits for its
+slowest row, and every (batch, prompt-bucket) pair is a separate compiled
+program) with the vLLM-style serving shape the reference leans on
+(ref: scripts/generate.py:112-118):
+
+- A fixed pool of ``n_slots`` decode slots advances in lockstep inside ONE
+  compiled decode program, whatever mix of prompt/output lengths the slots hold.
+- A host-side **scheduler** owns the page free-list: pages are allocated lazily
+  (prompt pages at admission, decode pages chunk-by-chunk), freed when a request
+  finishes, and new prompts are admitted into freed slots between chunks —
+  finished rows never idle the batch.
+- Decode runs in chunks of ``chunk`` tokens per dispatch (a ``lax.scan``), so
+  host<->device sync happens once per chunk, not per token — important through
+  the axon remote-TPU tunnel where every dispatch costs ~ms.
+- If the pool runs dry (undersized ``n_pages``), the youngest active request is
+  preempted vLLM-style: its pages are freed and it is re-queued for a fresh
+  prefill later.
+
+Compiled programs: ONE decode-chunk program + one prefill program per prompt
+bucket (a handful), versus the dense engine's program per (batch, bucket).
+
+Greedy parity: with ``temperature=0`` the emitted tokens match ``DecodeEngine``
+(same attention set, same RoPE positions, same fp32 logits math) — asserted in
+tests/test_paged_decode.py.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssi_tpu.generate.engine import SamplingParams, _sample
+from ssi_tpu.generate.paged import decode_step_tokens, init_pools, prefill_prompt
+from ssi_tpu.models.configs import ConfigLlama3_2
+from ssi_tpu.utils import round_up as _round_up
+
+LOGGER = logging.getLogger(__name__)
+
+
+@dataclass
+class _Request:
+    idx: int                      # position in the caller's prompt list
+    prompt: list[int]
+    out: list[int] = field(default_factory=list)
+    clp: float = 0.0
+    done_reason: str | None = None
+
+
+@dataclass
+class _Slot:
+    req: _Request | None = None
+    pages: list[int] = field(default_factory=list)
+    seq_len: int = 0              # valid cache tokens (prompt + consumed outputs)
+    n_out: int = 0                # tokens emitted so far
+    done: bool = False            # hit a stop token / budget; awaiting collection
+
+
+class PagedDecodeEngine:
+    """Continuous-batching generation over a paged KV cache.
+
+    Args:
+        params: model param pytree.
+        cfg: architecture config.
+        pad_id: filler token for inactive slots' inputs.
+        n_slots: decode slots advanced per step (the "batch").
+        page_size: tokens per KV page.
+        n_pages: pool size; default sizes for n_slots full contexts
+            (prompt bucket + max 1024 outputs) — lazy allocation means typical
+            usage touches far fewer.
+        prompt_bucket: prefill programs are compiled per multiple of this.
+        chunk: decode steps per device dispatch.
+        attn_impl: "gather" (XLA, anywhere), "pallas" (TPU), or "auto".
+    """
+
+    def __init__(
+        self,
+        params: Any,
+        cfg: ConfigLlama3_2,
+        pad_id: int,
+        *,
+        n_slots: int = 32,
+        page_size: int = 64,
+        n_pages: int | None = None,
+        max_context: int = 1280,
+        prompt_bucket: int = 128,
+        chunk: int = 16,
+        attn_impl: str = "auto",
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.pad_id = pad_id
+        self.n_slots = n_slots
+        self.page_size = page_size
+        if prompt_bucket % page_size != 0:
+            raise ValueError(f"prompt_bucket ({prompt_bucket}) must be a multiple of page_size ({page_size})")
+        self.max_context = _round_up(_round_up(max_context, page_size), prompt_bucket)
+        self.max_pages_per_seq = self.max_context // page_size
+        self.prompt_bucket = prompt_bucket
+        self.chunk = chunk
+        if attn_impl == "auto":
+            attn_impl = "pallas" if jax.devices()[0].platform == "tpu" else "gather"
+        self.attn_impl = attn_impl
+        if n_pages is None:
+            n_pages = n_slots * self.max_pages_per_seq
+        self.n_pages = n_pages
+
+        cache_dtype = params["embed"].dtype
+        self.pools = init_pools(cfg, n_pages, page_size, dtype=cache_dtype)
+        self._free_pages: list[int] = list(range(n_pages))
+        self._slots = [_Slot() for _ in range(n_slots)]
+        # host mirrors of device state
+        self._page_table = np.zeros((n_slots, self.max_pages_per_seq), np.int32)
+        self._prefill_cache: dict[tuple[int, bool], Any] = {}
+        self._chunk_fn_cache: dict[Any, Any] = {}
+
+    # --- compiled programs -------------------------------------------------------
+
+    def _prefill_fn(self, p: int):
+        key = p
+        if key not in self._prefill_cache:
+            cfg = self.cfg
+
+            def prefill(params, pools, tokens, length, page_ids):
+                return prefill_prompt(params, tokens, length, cfg, pools, page_ids)
+
+            self._prefill_cache[key] = jax.jit(prefill, donate_argnums=(1,))
+        return self._prefill_cache[key]
+
+    def _chunk_fn(self, sp: SamplingParams):
+        cache_key = (sp, self.chunk)
+        if cache_key in self._chunk_fn_cache:
+            return self._chunk_fn_cache[cache_key]
+        cfg = self.cfg
+        pad_id = self.pad_id
+        attn_impl = self.attn_impl
+        stop_ids = jnp.asarray(sp.stop_token_ids, jnp.int32) if sp.stop_token_ids else jnp.zeros((0,), jnp.int32)
+
+        def chunk(params, pools, page_table, seq_lens, tok, active, done, budget,
+                  out_counts, prompt_counts, key):
+            def step(carry, _):
+                pools, seq_lens, tok, done, budget, out_counts, key, clp = carry
+                advance = jnp.logical_and(active, jnp.logical_not(done))
+                logits, pools = decode_step_tokens(
+                    params, tok, cfg, pools, page_table, seq_lens, advance, attn_impl=attn_impl
+                )
+                if sp.uses_penalties:
+                    out_counts = out_counts.at[jnp.arange(tok.shape[0]), tok].add(
+                        jnp.where(advance, 1.0, 0.0)
+                    )
+                next_tok, key, lp = _sample(logits, sp, key, out_counts, prompt_counts)
+                clp = clp + jnp.where(advance, lp, 0.0)
+                seq_lens = seq_lens + advance.astype(seq_lens.dtype)
+                budget = budget - advance.astype(budget.dtype)
+                is_stop = jnp.isin(next_tok, stop_ids) if stop_ids.size else jnp.zeros_like(done)
+                newly_done = jnp.logical_and(advance, jnp.logical_or(is_stop, budget <= 0))
+                emitted = jnp.where(advance, next_tok, pad_id)
+                done = jnp.logical_or(done, newly_done)
+                next_tok = jnp.where(advance, next_tok, tok)
+                return (pools, seq_lens, next_tok, done, budget, out_counts, key, clp), emitted
+
+            clp0 = jnp.zeros(tok.shape, jnp.float32)
+            (pools, seq_lens, tok, done, budget, out_counts, key, clp), emitted = jax.lax.scan(
+                step, (pools, seq_lens, tok, done, budget, out_counts, key, clp0), None,
+                length=self.chunk,
+            )
+            return pools, seq_lens, tok, done, budget, out_counts, key, clp, emitted.T  # [slots, chunk]
+
+        fn = jax.jit(chunk, donate_argnums=(1,))
+        self._chunk_fn_cache[cache_key] = fn
+        return fn
+
+    # --- host-side page scheduling -------------------------------------------------
+
+    def _alloc_pages(self, n: int) -> list[int] | None:
+        if len(self._free_pages) < n:
+            return None
+        pages = [self._free_pages.pop() for _ in range(n)]
+        return pages
+
+    def _free_slot(self, slot: _Slot):
+        self._free_pages.extend(slot.pages)
+        slot.pages = []
+        slot.req = None
+        slot.seq_len = 0
+        slot.n_out = 0
+        slot.done = False
+
+    def _pages_needed(self, length: int) -> int:
+        return -(-length // self.page_size)
+
+    def _ensure_capacity(self, slot_id: int, target_len: int) -> bool:
+        """Lazily extend a slot's page list to cover ``target_len`` tokens."""
+        slot = self._slots[slot_id]
+        need = self._pages_needed(target_len)
+        if need > self.max_pages_per_seq:
+            raise ValueError(
+                f"Sequence needs {target_len} tokens > max_context {self.max_context}; "
+                f"raise max_context"
+            )
+        while len(slot.pages) < need:
+            got = self._alloc_pages(1)
+            if got is None:
+                return False
+            slot.pages.extend(got)
+            self._page_table[slot_id, len(slot.pages) - 1] = got[0]
+        return True
+
+    def _preempt_youngest(self, queue: list[_Request]) -> bool:
+        """Free the youngest active unfinished slot, re-queueing its request."""
+        candidates = [
+            (s.n_out, i) for i, s in enumerate(self._slots) if s.req is not None and not s.done
+        ]
+        if not candidates:
+            return False
+        _, victim = min(candidates)
+        slot = self._slots[victim]
+        LOGGER.warning(
+            f"KV pool exhausted: preempting slot {victim} (request {slot.req.idx}, "
+            f"{slot.n_out} tokens generated) for recompute-style retry"
+        )
+        slot.req.out = []
+        slot.req.clp = 0.0
+        queue.insert(0, slot.req)
+        self._free_slot(slot)
+        return True
+
+    # --- main loop -------------------------------------------------------------------
+
+    def generate_batch(
+        self, prompts: list[list[int]], sp: SamplingParams, key: jax.Array | None = None
+    ) -> list[dict[str, Any]]:
+        """Generate for ragged prompts with continuous batching; returns vLLM-shaped
+        dicts in prompt order (same schema as DecodeEngine.generate_batch)."""
+        if key is None:
+            key = jax.random.key(0)
+        for i, t in enumerate(prompts):
+            if len(t) == 0:
+                raise ValueError(f"Prompt {i} is empty")
+            if len(t) + sp.max_tokens > self.max_context:
+                raise ValueError(
+                    f"Prompt {i} ({len(t)} tokens) + max_tokens ({sp.max_tokens}) exceeds "
+                    f"max_context ({self.max_context})"
+                )
+
+        queue = [_Request(idx=i, prompt=list(t)) for i, t in enumerate(prompts)]
+        results: dict[int, dict[str, Any]] = {}
+        n_total = len(queue)
+        use_pen = sp.uses_penalties
+
+        # device-resident slot state
+        seq_lens = jnp.zeros((self.n_slots,), jnp.int32)
+        tok = jnp.full((self.n_slots,), self.pad_id, jnp.int32)
+        active = np.zeros((self.n_slots,), bool)
+        done = jnp.zeros((self.n_slots,), bool)
+        budget = jnp.zeros((self.n_slots,), jnp.int32)
+        v = self.cfg.vocab_size
+        out_counts = jnp.zeros((self.n_slots, v) if use_pen else (1, 1), jnp.float32)
+        prompt_counts_h = np.zeros((self.n_slots, v) if use_pen else (1, 1), np.float32)
+
+        stop_set = set(sp.stop_token_ids)
+        chunk_fn = self._chunk_fn(sp)
+
+        def admit(slot_id: int) -> bool:
+            nonlocal seq_lens, tok, done, budget, out_counts, key
+            req = queue[0]
+            p = len(req.prompt)
+            p_bucket = _round_up(p, self.prompt_bucket)
+            slot = self._slots[slot_id]
+            if not self._ensure_capacity(slot_id, p_bucket):
+                return False
+            queue.pop(0)
+            slot.req = req
+            slot.seq_len = p
+            slot.n_out = 0
+            slot.done = False
+
+            tokens = np.full((p_bucket,), self.pad_id, np.int32)
+            tokens[:p] = req.prompt
+            n_pref = p_bucket // self.page_size
+            page_ids = jnp.asarray(self._page_table[slot_id, :n_pref])
+            logits, self.pools = self._prefill_fn(p_bucket)(
+                self.params, self.pools, jnp.asarray(tokens), jnp.int32(p), page_ids
+            )
+            if use_pen:
+                cnt = np.zeros((v,), np.float32)
+                np.add.at(cnt, req.prompt, 1.0)
+                prompt_counts_h[slot_id] = cnt
+                out_counts = out_counts.at[slot_id].set(0.0)
+            key, sub = jax.random.split(key)
+            first, _, lp = _sample(
+                logits[None, :], sp, sub,
+                out_counts[slot_id : slot_id + 1] if use_pen else jnp.zeros((1, 1), jnp.float32),
+                jnp.asarray(prompt_counts_h[slot_id : slot_id + 1]) if use_pen else jnp.zeros((1, 1), jnp.float32),
+            )
+            first_t = int(first[0])
+            req.out.append(first_t)
+            req.clp += float(lp[0])
+            slot.n_out = 1
+            first_done = (first_t in stop_set) or (sp.max_tokens <= 1)
+            slot.done = first_done
+
+            active[slot_id] = True
+            seq_lens = seq_lens.at[slot_id].set(p)
+            tok = tok.at[slot_id].set(first_t)
+            done = done.at[slot_id].set(first_done)
+            budget = budget.at[slot_id].set(sp.max_tokens - 1)
+            # NOTE the first token is folded into out_counts when it is CONSUMED by
+            # the first chunk step (matching DecodeEngine's ordering).
+            return True
+
+        def collect(slot_id: int):
+            slot = self._slots[slot_id]
+            req = slot.req
+            token_ids = req.out[: sp.max_tokens]
+            stopped = bool(token_ids) and token_ids[-1] in stop_set
+            results[req.idx] = {
+                "token_ids": token_ids,
+                "finish_reason": "stop" if stopped else "length",
+                "stop_reason": token_ids[-1] if stopped else None,
+                "cumulative_logprob": req.clp,
+            }
+            self._free_slot(slot)
+            active[slot_id] = False
+
+        while len(results) < n_total:
+            # 1) admit new prompts into free slots
+            admitted_any = False
+            for slot_id in range(self.n_slots):
+                if not queue:
+                    break
+                if self._slots[slot_id].req is None:
+                    if not admit(slot_id):
+                        break  # pool tight: stop admitting, let running slots finish
+                    admitted_any = True
+
+            # collect any requests that finished during admission (stop on 1st token)
+            for slot_id in range(self.n_slots):
+                s = self._slots[slot_id]
+                if s.req is not None and s.done:
+                    collect(slot_id)
+            if not any(s.req is not None for s in self._slots):
+                if queue and not admitted_any:
+                    # nothing is running, every page is free, and a prompt still
+                    # does not fit: the pool is fundamentally undersized
+                    raise RuntimeError("KV page pool too small to admit any prompt; raise n_pages")
+                continue  # everything admitted finished instantly -> re-admit / exit
+
+            # 2) make sure every running slot has pages for the next chunk
+            run_ok = True
+            for slot_id in range(self.n_slots):
+                s = self._slots[slot_id]
+                if s.req is None or s.done:
+                    continue
+                target = min(s.seq_len + self.chunk + 1, self.max_context)
+                while not self._ensure_capacity(slot_id, target):
+                    if not self._preempt_youngest(queue):
+                        raise RuntimeError("KV page pool exhausted and nothing to preempt")
+                    if self._slots[slot_id].req is None:  # we preempted ourselves
+                        run_ok = False
+                        break
+                if not run_ok:
+                    break
+            if not run_ok:
+                continue
+
+            # 3) one compiled chunk for every active slot
+            pt_dev = jnp.asarray(self._page_table)
+            pc_dev = jnp.asarray(prompt_counts_h) if use_pen else jnp.zeros((1, 1), jnp.float32)
+            act_dev = jnp.asarray(active)
+            (self.pools, seq_lens, tok, done, budget, out_counts, key, clp, emitted) = chunk_fn(
+                self.params, self.pools, pt_dev, seq_lens, tok, act_dev, done, budget,
+                out_counts, pc_dev, key,
+            )
+
+            emitted_h = np.asarray(emitted)
+            done_h = np.asarray(done)
+            lens_h = np.asarray(seq_lens)
+            clp_h = np.asarray(clp)
+
+            # 4) harvest outputs, mark finished, free + refill next iteration
+            for slot_id in range(self.n_slots):
+                s = self._slots[slot_id]
+                if s.req is None or s.done:
+                    continue
+                n_new = int(lens_h[slot_id]) - s.seq_len
+                s.seq_len = int(lens_h[slot_id])
+                if n_new > 0:
+                    s.req.out.extend(int(t) for t in emitted_h[slot_id, :n_new])
+                    s.req.clp += float(clp_h[slot_id])
+                    s.n_out += n_new
+                if bool(done_h[slot_id]):
+                    s.done = True
+                    collect(slot_id)
+
+        return [results[i] for i in range(n_total)]
