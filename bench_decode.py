@@ -1,9 +1,19 @@
 #!/usr/bin/env python
-"""Decode throughput benchmark: batched greedy generation at the 1B eval shape.
+"""Decode throughput benchmark: greedy generation at the 1B eval shapes.
 
 Not the driver headline metric (bench.py is); measures the generation pipeline
-the reference runs through vLLM (batch 8, greedy, max_tokens 256 —
-ref: conf/generate.yaml:17,21-31). Prints one JSON line.
+the reference runs through vLLM (ref: conf/generate.yaml:17,21-31). Prints one
+JSON line with three numbers:
+
+- ``dense_b8``: the reference eval shape (batch 8, uniform ~256-token decode)
+  on the fixed-batch dense-cache engine — round-1 comparable.
+- ``dense_b32_ragged`` / ``paged_b32_ragged``: 96 requests whose generation
+  lengths vary (a 1%-of-vocab stop set over random weights gives ~geometric
+  lengths, the shape of real ASR eval traffic). The dense engine convoys: each
+  32-row batch waits for its slowest row. The paged continuous-batching engine
+  refills finished slots from the queue. Outputs are greedy and bitwise-
+  comparable across engines, so tokens/s is an apples-to-apples ratio
+  (``paged_vs_dense_ragged``).
 """
 
 import json
@@ -19,43 +29,101 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 8
-PROMPT_LEN = 200
 MAX_TOKENS = 256
+N_RAGGED = 96
+SLOTS = 32
 
 
-def main() -> None:
-    from ssi_tpu.generate.engine import DecodeEngine, SamplingParams
+def _model():
     from ssi_tpu.models.configs import configllama3_2_1b
     from ssi_tpu.models.llama3 import init_params
 
     cfg = configllama3_2_1b.copy()
     cfg.n_dsus = 5000
     cfg.modality_tokens = True
-
     params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    return cfg, params
+
+
+def bench_dense_b8(cfg, params):
+    from ssi_tpu.generate.engine import DecodeEngine, SamplingParams
+
     engine = DecodeEngine(params, cfg, pad_id=133_006)
-    # no stop tokens: random weights must decode the full budget (worst case)
     sp = SamplingParams(temperature=0.0, max_tokens=MAX_TOKENS, stop_token_ids=())
-
     rng = np.random.default_rng(0)
-    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in rng.integers(50, PROMPT_LEN, BATCH)]
-
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in rng.integers(50, 200, 8)]
     outs = engine.generate_batch(prompts, sp)  # compile + warmup
     t0 = time.perf_counter()
     n_runs = 3
     for _ in range(n_runs):
         outs = engine.generate_batch(prompts, sp)
     dt = (time.perf_counter() - t0) / n_runs
-    gen_tokens = sum(len(o["token_ids"]) for o in outs)
+    return sum(len(o["token_ids"]) for o in outs) / dt
+
+
+def _ragged_workload(cfg):
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, 128_000, int(n)).tolist() for n in rng.integers(50, 700, N_RAGGED)]
+    # ~1% of the vocab as stop tokens: greedy argmax over random weights halts
+    # each row at an approximately geometric length (mean ~100)
+    stops = tuple(int(t) for t in rng.choice(cfg.vocab_size, cfg.vocab_size // 100, replace=False))
+    return prompts, stops
+
+
+def bench_ragged(cfg, params, kind):
+    from ssi_tpu.generate.engine import DecodeEngine, SamplingParams
+    from ssi_tpu.generate.paged_engine import PagedDecodeEngine
+
+    prompts, stops = _ragged_workload(cfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=MAX_TOKENS, stop_token_ids=stops)
+
+    if kind == "paged":
+        engine = PagedDecodeEngine(
+            params, cfg, pad_id=133_006, n_slots=SLOTS,
+            max_context=max(len(p) for p in prompts) + MAX_TOKENS,
+        )
+        run = lambda: engine.generate_batch(prompts, sp)
+    else:
+        engine = DecodeEngine(params, cfg, pad_id=133_006)
+
+        def run():
+            outs = []
+            for s in range(0, len(prompts), SLOTS):
+                chunk = prompts[s : s + SLOTS]
+                while len(chunk) < SLOTS:  # final partial batch pads with a dummy
+                    chunk = chunk + [prompts[0]]
+                outs.extend(engine.generate_batch(chunk, sp)[: len(prompts) - s])
+            return outs
+
+    outs = run()  # compile + warmup
+    t0 = time.perf_counter()
+    outs = run()
+    dt = time.perf_counter() - t0
+    total = sum(len(o["token_ids"]) for o in outs)
+    return total / dt, total, [o["token_ids"] for o in outs]
+
+
+def main() -> None:
+    cfg, params = _model()
+    dense_b8 = bench_dense_b8(cfg, params)
+    dense_rg, dense_total, dense_tok = bench_ragged(cfg, params, "dense")
+    paged_rg, paged_total, paged_tok = bench_ragged(cfg, params, "paged")
+    greedy_match = dense_tok == paged_tok
 
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_second_1b_greedy_b8",
-                "value": round(gen_tokens / dt, 1),
+                "metric": "decode_tokens_per_second_1b_greedy",
+                "value": round(paged_rg, 1),
                 "unit": "tokens/s",
-                "detail": {"batch": BATCH, "max_tokens": MAX_TOKENS, "seconds_per_batch": round(dt, 2)},
+                "detail": {
+                    "dense_b8_uniform": round(dense_b8, 1),
+                    "dense_b32_ragged": round(dense_rg, 1),
+                    "paged_b32_ragged": round(paged_rg, 1),
+                    "paged_vs_dense_ragged": round(paged_rg / dense_rg, 2),
+                    "ragged_tokens": paged_total,
+                    "greedy_outputs_match_dense": greedy_match,
+                },
             }
         )
     )

@@ -22,6 +22,7 @@ collectives over ICI):
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any
 
 import jax
@@ -30,7 +31,127 @@ import numpy as np
 
 LOGGER = logging.getLogger(__name__)
 
-__all__ = ["make_mesh", "param_specs", "param_shardings", "batch_sharding", "replicated", "shard_params"]
+__all__ = [
+    "make_mesh",
+    "param_specs",
+    "param_shardings",
+    "batch_sharding",
+    "replicated",
+    "shard_params",
+    "initialize_distributed",
+    "host_local_to_global",
+    "full_host_copy",
+]
+
+_DIST_INITIALIZED = False
+
+def _managed_multihost_env() -> bool:
+    """True when env vars indicate a multi-host TPU pod / managed launcher where
+    ``jax.distributed.initialize()`` can auto-detect coordinator + topology.
+
+    Values are sanity-checked: dev tunnels (axon) export placeholder strings like
+    ``"WARNING: could not determine TPU worker hostnames"`` that must not count.
+    """
+    hostnames = os.getenv("TPU_WORKER_HOSTNAMES", "")
+    if hostnames and " " not in hostnames and "," in hostnames:
+        return True  # looks like a real multi-worker hostname list
+    if os.getenv("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    try:
+        if int(os.getenv("SLURM_JOB_NUM_NODES", "1")) > 1:
+            return True
+    except ValueError:
+        pass
+    return False
+
+
+def initialize_distributed(parallel_cfg: Any = None) -> bool:
+    """Multi-process runtime init — the piece the reference scaffolds but never
+    calls (ref: ssi/trainer.py:207 reads world_size from an uninitialized process
+    group; SURVEY.md §2.4 "Comm backend: none initialized").
+
+    Gating (``parallel.distributed`` config key, default "auto"):
+    - ``false``: never initialize (single-process).
+    - ``auto``: initialize iff explicit coordinator settings are present
+      (``parallel.coordinator_address``/``num_processes``/``process_id`` or the
+      ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` env
+      vars) or a managed multi-host environment is detected (TPU pod / SLURM).
+    - ``true``: always call ``jax.distributed.initialize`` (auto-detect when no
+      explicit settings are given — the TPU-pod path).
+
+    Returns True when running multi-process after the call. Idempotent.
+    """
+    global _DIST_INITIALIZED
+    get = parallel_cfg.get if parallel_cfg is not None else (lambda *_: None)
+    mode = get("distributed")
+    mode = "auto" if mode is None else str(mode).lower()
+    if mode in ("false", "off", "0", "no"):
+        return False
+    if _DIST_INITIALIZED:
+        return jax.process_count() > 1
+
+    coord = get("coordinator_address") or os.getenv("JAX_COORDINATOR_ADDRESS")
+    nproc = get("num_processes") or os.getenv("JAX_NUM_PROCESSES")
+    pid = get("process_id")
+    if pid is None:
+        pid = os.getenv("JAX_PROCESS_ID")
+    explicit = coord is not None
+    managed = _managed_multihost_env()
+    if mode == "auto" and not (explicit or managed):
+        return False
+    if mode not in ("auto", "true", "on", "1", "yes"):
+        raise ValueError(f"parallel.distributed must be bool or 'auto', got {mode!r}")
+
+    kwargs = {}
+    if explicit:
+        kwargs = {
+            "coordinator_address": str(coord),
+            "num_processes": int(nproc),
+            "process_id": int(pid),
+        }
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if mode == "auto":
+            # backend already up (e.g. single-process dev session that touched
+            # devices before Trainer.setup): auto mode degrades gracefully
+            LOGGER.warning(f"Skipping jax.distributed auto-init: {e}")
+            return jax.process_count() > 1
+        raise
+    _DIST_INITIALIZED = True
+    LOGGER.info(
+        f"jax.distributed initialized: process {jax.process_index()}/{jax.process_count()}, "
+        f"{jax.local_device_count()} local of {jax.device_count()} global devices"
+    )
+    return jax.process_count() > 1
+
+
+def host_local_to_global(arr: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Assemble a global array from this process's local shard.
+
+    Single-process: plain ``device_put``. Multi-process: each process contributes
+    its rows of the globally dp-sharded batch (the DistributedSampler-equivalent
+    per-rank shard, ref: ssi/data/__init__.py:83,120) via
+    ``jax.make_array_from_process_local_data``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(arr))
+
+
+def full_host_copy(tree: Any, mesh: Mesh) -> Any:
+    """Fetch a complete host copy of a (possibly cross-host-sharded) pytree.
+
+    Multi-process arrays are not fully addressable, so a jitted identity with
+    replicated out-shardings all-gathers them over ICI/DCN first; every host then
+    holds the full value (used by checkpoint save, where process 0 writes)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    rep = jax.jit(
+        lambda t: t,
+        out_shardings=jax.tree.map(lambda _: replicated(mesh), tree),
+    )(tree)
+    return jax.device_get(rep)
 
 
 def make_mesh(dp: int | None = None, tp: int = 1, devices: list | None = None) -> Mesh:

@@ -37,7 +37,16 @@ from ssi_tpu.checkpoint import Checkpointer, resolve_checkpointer_output_dir, re
 from ssi_tpu.constants import DEBUGGING_TAG, SEED
 from ssi_tpu.data import Loader, Sampler, setup_sft_data, setup_text_completion_data
 from ssi_tpu.models.configs import get_model_config
-from ssi_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated, shard_params
+from ssi_tpu.parallel import (
+    batch_sharding,
+    full_host_copy,
+    host_local_to_global,
+    initialize_distributed,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_params,
+)
 from ssi_tpu.tokenizer import setup_llama3_tokenizer
 from ssi_tpu.train.geometry import TrainingGeometry
 from ssi_tpu.train.lr_schedule import setup_lr_schedule
@@ -117,7 +126,11 @@ class Trainer:
         validate_train_cfg(self.cfg)
         self._set_host_seed()
         self.dtype = _DTYPES[self.cfg.dtype]
+        # Multi-host: bring up the jax.distributed runtime BEFORE any device or
+        # process queries (ref gap: ssi/trainer.py:207 — scaffolded, never called).
+        initialize_distributed(self.cfg.get("parallel"))
         self.world_size = jax.process_count()
+        self.rank = jax.process_index()
 
         self._setup_mesh()
         self._setup_logging()
@@ -153,8 +166,25 @@ class Trainer:
         tags = [__version__, self.cfg.config_name]
         if os.getenv("SLURM_JOB_QOS") == "gpu-debug":
             tags += [DEBUGGING_TAG]
+        if self.rank != 0:
+            # Non-zero ranks keep an in-memory history but never touch W&B or the
+            # shared metrics/log files (rank-0-writes convention).
+            from ssi_tpu.train.metric_logging import JsonlLogger
+
+            self.metric_logger = JsonlLogger(log_dir=None)
+            if self.cfg.checkpointer.get("output_dir") is None:
+                raise ValueError(
+                    "Multi-process training requires an explicit checkpointer.output_dir "
+                    "(W&B-run-derived resolution is only deterministic on rank 0)."
+                )
+            return
         self.metric_logger = setup_metric_logger(self.cfg.get("wandb"), tags=tags)
         if self.cfg.checkpointer.get("output_dir") is None:
+            if self.world_size > 1:
+                raise ValueError(
+                    "Multi-process training requires an explicit checkpointer.output_dir "
+                    "(W&B-run-derived resolution is only deterministic on rank 0)."
+                )
             self.cfg.checkpointer.output_dir = str(resolve_checkpointer_output_dir(self.cfg, self.metric_logger))
             LOGGER.info(f"No checkpointer output dir provided. Resolved to: {self.cfg.checkpointer.output_dir}")
         if hasattr(self.metric_logger, "set_log_dir"):
@@ -263,10 +293,17 @@ class Trainer:
 
     def _build_steps(self) -> None:
         dp = self.mesh.shape["dp"]
-        if self.geometry.batch_size % dp != 0:
+        if dp % self.world_size != 0:
+            raise ValueError(
+                f"dp mesh size ({dp}) must be divisible by the process count ({self.world_size}) "
+                "so every process contributes whole batch shards."
+            )
+        local_dp = dp // self.world_size
+        if self.geometry.batch_size % local_dp != 0:
             raise ValueError(
                 f"Per-process batch_size ({self.geometry.batch_size}) must be divisible by the "
-                f"data-parallel mesh size (dp={dp}) so every device gets an equal batch shard."
+                f"per-process data-parallel share (dp={dp} / {self.world_size} processes = {local_dp}) "
+                "so every device gets an equal batch shard."
             )
         attn_impl = self.cfg.get("attn_impl", "auto")
         chunk_size = int(self.cfg.get("loss_chunk_size", 1024))
@@ -370,7 +407,7 @@ class Trainer:
     def _optimizer_step(self, epoch: int, iter_idx: int, window: list[dict[str, Any]]) -> None:
         self._maybe_profile()
         stacked = self._stack_window(window)
-        put = {k: jax.device_put(v, self._batch_sharding) for k, v in stacked.items()}
+        put = {k: host_local_to_global(v, self._batch_sharding) for k, v in stacked.items()}
         tokens = put["tokens"]
         self.state, metrics = self.train_step(
             self.state, put["tokens"], put["labels"], put.get("segment_ids"), put.get("positions")
@@ -409,7 +446,7 @@ class Trainer:
     def _evaluate(self) -> float:
         from ssi_tpu.constants import CROSS_ENTROPY_IGNORE_IDX
 
-        dp = self.mesh.shape["dp"]
+        local_dp = self.mesh.shape["dp"] // self.world_size
         fills = {
             "tokens": self.tokenizer.pad_id,
             "labels": CROSS_ENTROPY_IGNORE_IDX,
@@ -420,14 +457,16 @@ class Trainer:
         def put_batch(batch):
             keys = ["tokens", "labels"] + [k for k in ("segment_ids", "positions") if k in batch]
             rows = batch["tokens"].shape[0]
-            target = ((rows + dp - 1) // dp) * dp
+            # final partial batch: pad local rows so the per-process dp share divides
+            # (the Sampler wrap-pads ranks to equal counts, so rows match across processes)
+            target = ((rows + local_dp - 1) // local_dp) * local_dp
             out = []
             for k in keys:
                 arr = batch[k]
-                if rows != target:  # final partial batch: pad rows so dp-sharding divides
+                if rows != target:
                     pad = np.full((target - rows, arr.shape[1]), fills[k], arr.dtype)
                     arr = np.concatenate([arr, pad], axis=0)
-                out.append(jax.device_put(arr, self._eval_sharding))
+                out.append(host_local_to_global(arr, self._eval_sharding))
             return tuple(out)
 
         return compute_dataset_loss(
@@ -498,8 +537,10 @@ class Trainer:
         from ssi_tpu.checkpoint import save_rng_states
 
         self._join_pending_save()
-        host_params = jax.device_get(self.state["params"])
-        host_opt = jax.device_get(self.state["opt_state"])
+        # Cross-host-sharded state is not fully addressable: all ranks join the
+        # all-gather (a collective), then only rank 0 touches the filesystem.
+        host_params = full_host_copy(self.state["params"], self.mesh)
+        host_opt = full_host_copy(self.state["opt_state"], self.mesh)
         rng_state = save_rng_states()
         step = self.global_step
         kwargs = dict(
@@ -519,6 +560,8 @@ class Trainer:
         )
 
         def write():
+            if self.rank != 0:
+                return
             self.checkpointer.save_model_checkpoint(host_params, self._llama_config, step)
             self.checkpointer.save_training_state(**kwargs)
             self._prune_checkpoints(keep_step=step)

@@ -1,0 +1,124 @@
+"""Two-process distributed training validation (VERDICT r1 item 2).
+
+Spawns two REAL OS processes, each with one CPU device, connected through
+``jax.distributed`` (coordinator on localhost). Each process runs the full
+Trainer with its own Sampler(rank) data shard; the jitted step consumes the
+globally-assembled batch, so gradients sync through XLA collectives exactly as
+on a TPU pod. The per-step loss stream must:
+
+- be identical (bitwise) across the two ranks (they compute the same global
+  program), and
+- match a single-process run with the equivalent global batch (2 x per-rank
+  batch) to fp32-rounding tolerance — partitioning changes reduction order.
+
+Also asserts per-process data-shard disjointness, the semantics of
+ref: ssi/data/__init__.py:83,120 done for real.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from tests import helpers
+
+STEPS = 4
+PER_RANK_BATCH = 2
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("mp")
+    helpers.make_tiny_hf_checkpoint(wd / "model")
+    rows = helpers.synthetic_sft_rows(64)
+    with open(wd / "data.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return wd
+
+
+def _run_two_processes(workdir) -> list[dict]:
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, str(REPO / "tools" / "mp_worker.py"),
+                "--rank", str(r), "--nprocs", "2", "--port", str(port),
+                "--workdir", str(workdir), "--steps", str(STEPS),
+                "--batch-size", str(PER_RANK_BATCH),
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    return [json.load(open(workdir / f"losses_rank{r}.json")) for r in (0, 1)]
+
+
+def test_two_process_training_matches_single_process(workdir, monkeypatch, tmp_path):
+    results = _run_two_processes(workdir)
+    r0, r1 = results
+    assert len(r0["losses"]) == STEPS
+
+    # both ranks observe the SAME global loss stream, bitwise
+    assert r0["losses"] == r1["losses"]
+    assert r0["consumed_samples"] == r1["consumed_samples"]
+
+    # per-process data shards are disjoint and cover the padded index space
+    s0, s1 = set(r0["shard"]), set(r1["shard"])
+    assert s0.isdisjoint(s1)
+    assert len(r0["shard"]) == len(r1["shard"])  # equal per-rank counts (wrap padding)
+    assert s0 | s1 >= set(range(64))
+
+    # single-process run with the equivalent GLOBAL batch (2 ranks x 2 rows),
+    # same per-sample data: the rank-strided batch {shuffled[0], shuffled[2]} +
+    # {shuffled[1], shuffled[3]} equals the flat batch {shuffled[0..3]} as a SET,
+    # and the window loss/grads are row-order-invariant sums
+    import datasets as hfd
+
+    import ssi_tpu.data as data_mod
+    from ssi_tpu.train import Trainer
+
+    rows = [json.loads(line) for line in open(workdir / "data.jsonl")]
+    monkeypatch.setattr(data_mod, "load_hf_dataset", lambda source, **kw: hfd.Dataset.from_list(rows))
+
+    cfg = helpers.base_train_cfg_dict(workdir / "model", tmp_path / "single", kind="sft")
+    cfg["max_steps"] = STEPS
+    cfg["save_steps"] = STEPS
+    cfg["eval_steps"] = STEPS
+    cfg["lr_scheduler"] = None
+    cfg["parallel"] = {"dp": 2, "tp": 1}
+    for split in ("train", "dev"):
+        cfg["data"][split]["dataloader"]["batch_size"] = 2 * PER_RANK_BATCH
+    t = Trainer(helpers.make_cfg(cfg))
+    t.setup()
+    losses = []
+    t._loss_log = losses
+    t.train()
+    t.cleanup()
+
+    assert len(losses) == STEPS
+    for got, want in zip(r0["losses"], losses):
+        assert got == pytest.approx(want, rel=1e-5), (r0["losses"], losses)
+
+    # rank-0-writes convention: the shared ckpt dir has exactly one final save
+    assert (workdir / "ckpt_shared" / f"step_{STEPS}").is_dir()
+    assert (workdir / "ckpt_shared" / "training_state.msgpack").is_file()
