@@ -108,7 +108,9 @@ def main() -> None:
     dense_b8 = bench_dense_b8(cfg, params)
     dense_rg, dense_total, dense_tok = bench_ragged(cfg, params, "dense")
     paged_rg, paged_total, paged_tok = bench_ragged(cfg, params, "paged")
-    greedy_match = dense_tok == paged_tok
+    # bf16 argmax ties flip between programs on random weights; report the match
+    # fraction (fp32-CPU bitwise parity is asserted in tests/test_paged_decode.py)
+    match_frac = sum(a == b for a, b in zip(dense_tok, paged_tok)) / len(dense_tok)
 
     print(
         json.dumps(
@@ -122,7 +124,7 @@ def main() -> None:
                     "paged_b32_ragged": round(paged_rg, 1),
                     "paged_vs_dense_ragged": round(paged_rg / dense_rg, 2),
                     "ragged_tokens": paged_total,
-                    "greedy_outputs_match_dense": greedy_match,
+                    "greedy_match_fraction_vs_dense": round(match_frac, 3),
                 },
             }
         )

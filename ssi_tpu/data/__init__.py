@@ -323,3 +323,77 @@ def setup_sft_data(
     loader, sampler = _build_loader(dataset, cfg_dataset, model_tokenizer, num_replicas, rank)
     LOGGER.info(f"Dataset and Sampler initialized from {cfg_dataset.dataset.source}.")
     return loader, sampler
+
+
+####################################################################################################
+# Debug: Alpaca text-SFT loader (ref: ssi/data/__init__.py:213-231 — used to
+# demonstrate OOM behavior during SFT; torchtune's alpaca_dataset equivalent)
+####################################################################################################
+
+
+class _AlpacaDataset:
+    """Alpaca instruction rows -> masked SFT samples (torchtune alpaca_dataset
+    semantics: train_on_input=True, instruction+input form the user turn)."""
+
+    _PROMPT_WITH_INPUT = (
+        "Below is an instruction that describes a task, paired with an input that provides "
+        "further context. Write a response that appropriately completes the request.\n\n"
+        "### Instruction:\n{instruction}\n\n### Input:\n{input}\n\n### Response:\n"
+    )
+    _PROMPT_NO_INPUT = (
+        "Below is an instruction that describes a task. Write a response that appropriately "
+        "completes the request.\n\n### Instruction:\n{instruction}\n\n### Response:\n"
+    )
+
+    def __init__(self, tokenizer: Llama3Tokenizer, source: str = "tatsu-lab/alpaca",
+                 train_on_input: bool = True, **load_dataset_kwargs) -> None:
+        from ssi_tpu.tokenizer.messages import Message
+
+        self._tokenizer = tokenizer
+        self._data = load_hf_dataset(source, split=load_dataset_kwargs.pop("split", "train"), **load_dataset_kwargs)
+        self._train_on_input = train_on_input
+        self._Message = Message
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        row = self._data[int(index)]
+        template = self._PROMPT_WITH_INPUT if row.get("input") else self._PROMPT_NO_INPUT
+        user = template.format(instruction=row["instruction"], input=row.get("input", ""))
+        messages = [
+            self._Message(role="user", content=user, masked=not self._train_on_input, eot=True),
+            self._Message(role="assistant", content=row["output"], masked=False, eot=True),
+        ]
+        tok = self._tokenizer({"messages": messages}, inference=False)
+        tok["labels"] = list(np.where(tok["mask"], CROSS_ENTROPY_IGNORE_IDX, tok["tokens"]))
+        return tok
+
+
+def setup_alpaca_data(
+    tokenizer: Llama3Tokenizer,
+    batch_size: int,
+    shuffle: bool = True,
+    num_replicas: int = 1,
+    rank: int = 0,
+    source: str = "tatsu-lab/alpaca",
+    **load_dataset_kwargs,
+) -> tuple[Loader, Sampler]:
+    """Debug SFT loader over the Alpaca dataset (ref: ssi/data/__init__.py:213-231).
+
+    Kept for parity with the reference's OOM-debug workflow; unlike the reference
+    it emits fixed-shape batches (pad_to=max_seq_len) so it is jit-friendly on TPU.
+    """
+    import functools as _functools
+
+    ds = _AlpacaDataset(tokenizer, source=source, **load_dataset_kwargs)
+    sampler = Sampler(len(ds), num_replicas=num_replicas, rank=rank, shuffle=shuffle, seed=SEED, drop_last=True)
+    collate = _functools.partial(
+        padded_collate_sft,
+        padding_idx=tokenizer.pad_id,
+        ignore_idx=CROSS_ENTROPY_IGNORE_IDX,
+        pad_to=tokenizer.max_seq_len,
+    )
+    loader = Loader(ds, sampler=sampler, batch_size=batch_size, collate_fn=collate, drop_last=True)
+    LOGGER.info(f"Alpaca debug dataset and Sampler initialized from {source}.")
+    return loader, sampler

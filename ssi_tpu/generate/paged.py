@@ -202,16 +202,19 @@ def prefill_prompt(
     cfg: ConfigLlama3_2,
     pools: dict[str, jnp.ndarray],
     page_ids: jnp.ndarray,
-) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    """Prefill ONE prompt into its pages; return logits at the last real token.
+) -> dict[str, jnp.ndarray]:
+    """Prefill ONE prompt into its pages (K/V write only — no logits).
 
-    tokens: [P] right-padded to the bucket length; length: scalar true length;
+    tokens: [P] right-padded to the bucket length; length: scalar true length
+    (kept for interface stability; the caller seeds decode at ``length - 1`` so
+    the first chunk step recomputes the last prompt position and samples the
+    first output on device — admission stays free of host round trips);
     page_ids: [P // ps] physical pages receiving the prompt K/V. The scheduler
     allocates pages for the full bucket length P, so pad-position K/V lands in
     slot-owned pages; decode masks them via seq_lens and overwrites them in place
     as real tokens reach those offsets.
 
-    Returns (fp32 logits [V] at position length-1, updated pools).
+    Returns the updated pools.
     """
     p = tokens.shape[0]
     ps = pools["k"].shape[2]
@@ -240,8 +243,6 @@ def prefill_prompt(
         v_pool = v_pool.at[page_ids].set(v.astype(v_pool.dtype).reshape(p // ps, ps, cfg.num_kv_heads, hd))
         return h, (k_pool, v_pool)
 
-    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], pools["k"], pools["v"]))
-    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
-    last = h[length - 1]
-    logits = jnp.dot(last, params["embed"].T, preferred_element_type=jnp.float32)
-    return logits, {"k": new_k, "v": new_v}
+    _, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], pools["k"], pools["v"]))
+    del length  # see docstring
+    return {"k": new_k, "v": new_v}

@@ -70,7 +70,7 @@ class PagedDecodeEngine:
         cfg: architecture config.
         pad_id: filler token for inactive slots' inputs.
         n_slots: decode slots advanced per step (the "batch").
-        page_size: tokens per KV page.
+        page_size: tokens per KV page (128 = measured Pallas-kernel sweet spot on v5e).
         n_pages: pool size; default sizes for n_slots full contexts
             (prompt bucket + max 1024 outputs) — lazy allocation means typical
             usage touches far fewer.
@@ -86,7 +86,7 @@ class PagedDecodeEngine:
         pad_id: int,
         *,
         n_slots: int = 32,
-        page_size: int = 64,
+        page_size: int = 128,
         n_pages: int | None = None,
         max_context: int = 1280,
         prompt_bucket: int = 128,
@@ -143,7 +143,7 @@ class PagedDecodeEngine:
         stop_ids = jnp.asarray(sp.stop_token_ids, jnp.int32) if sp.stop_token_ids else jnp.zeros((0,), jnp.int32)
 
         def chunk(params, pools, page_table, seq_lens, tok, active, done, budget,
-                  out_counts, prompt_counts, key):
+                  out_counts, prompt_counts, prompt_lens, key):
             def step(carry, _):
                 pools, seq_lens, tok, done, budget, out_counts, key, clp = carry
                 advance = jnp.logical_and(active, jnp.logical_not(done))
@@ -151,8 +151,12 @@ class PagedDecodeEngine:
                     params, tok, cfg, pools, page_table, seq_lens, advance, attn_impl=attn_impl
                 )
                 if sp.uses_penalties:
+                    # the consumed token is an OUTPUT only once the cache has
+                    # grown past the prompt (the first consumed token after
+                    # admission is prompt[-1] — vLLM scopes it to prompt counts)
+                    is_output = seq_lens >= prompt_lens
                     out_counts = out_counts.at[jnp.arange(tok.shape[0]), tok].add(
-                        jnp.where(advance, 1.0, 0.0)
+                        jnp.where(jnp.logical_and(advance, is_output), 1.0, 0.0)
                     )
                 next_tok, key, lp = _sample(logits, sp, key, out_counts, prompt_counts)
                 clp = clp + jnp.where(advance, lp, 0.0)
@@ -240,6 +244,8 @@ class PagedDecodeEngine:
         dicts in prompt order (same schema as DecodeEngine.generate_batch)."""
         if key is None:
             key = jax.random.key(0)
+        if sp.max_tokens < 1:
+            raise ValueError("max_tokens must be >= 1")
         for i, t in enumerate(prompts):
             if len(t) == 0:
                 raise ValueError(f"Prompt {i} is empty")
@@ -254,12 +260,18 @@ class PagedDecodeEngine:
         n_total = len(queue)
         use_pen = sp.uses_penalties
 
-        # device-resident slot state
+        # device-resident slot state. Admission seeds a slot at seq_len = p - 1
+        # with tok = prompt[-1]: the first chunk step recomputes the last prompt
+        # position's K/V in place (same math as the prefill, one redundant token
+        # of work) and samples the first output ON DEVICE — admission itself
+        # performs zero host<->device round trips, which matters enormously
+        # through the axon tunnel (~100 ms per sync).
         seq_lens = jnp.zeros((self.n_slots,), jnp.int32)
         tok = jnp.full((self.n_slots,), self.pad_id, jnp.int32)
         active = np.zeros((self.n_slots,), bool)
         done = jnp.zeros((self.n_slots,), bool)
         budget = jnp.zeros((self.n_slots,), jnp.int32)
+        prompt_lens = jnp.zeros((self.n_slots,), jnp.int32)
         v = self.cfg.vocab_size
         out_counts = jnp.zeros((self.n_slots, v) if use_pen else (1, 1), jnp.float32)
         prompt_counts_h = np.zeros((self.n_slots, v) if use_pen else (1, 1), np.float32)
@@ -268,7 +280,7 @@ class PagedDecodeEngine:
         chunk_fn = self._chunk_fn(sp)
 
         def admit(slot_id: int) -> bool:
-            nonlocal seq_lens, tok, done, budget, out_counts, key
+            nonlocal seq_lens, tok, done, budget, prompt_lens, out_counts
             req = queue[0]
             p = len(req.prompt)
             p_bucket = _round_up(p, self.prompt_bucket)
@@ -277,7 +289,7 @@ class PagedDecodeEngine:
                 return False
             queue.pop(0)
             slot.req = req
-            slot.seq_len = p
+            slot.seq_len = p - 1
             slot.n_out = 0
             slot.done = False
 
@@ -285,7 +297,7 @@ class PagedDecodeEngine:
             tokens[:p] = req.prompt
             n_pref = p_bucket // self.page_size
             page_ids = jnp.asarray(self._page_table[slot_id, :n_pref])
-            logits, self.pools = self._prefill_fn(p_bucket)(
+            self.pools = self._prefill_fn(p_bucket)(
                 self.params, self.pools, jnp.asarray(tokens), jnp.int32(p), page_ids
             )
             if use_pen:
@@ -293,26 +305,13 @@ class PagedDecodeEngine:
                 np.add.at(cnt, req.prompt, 1.0)
                 prompt_counts_h[slot_id] = cnt
                 out_counts = out_counts.at[slot_id].set(0.0)
-            key, sub = jax.random.split(key)
-            first, _, lp = _sample(
-                logits[None, :], sp, sub,
-                out_counts[slot_id : slot_id + 1] if use_pen else jnp.zeros((1, 1), jnp.float32),
-                jnp.asarray(prompt_counts_h[slot_id : slot_id + 1]) if use_pen else jnp.zeros((1, 1), jnp.float32),
-            )
-            first_t = int(first[0])
-            req.out.append(first_t)
-            req.clp += float(lp[0])
-            slot.n_out = 1
-            first_done = (first_t in stop_set) or (sp.max_tokens <= 1)
-            slot.done = first_done
 
             active[slot_id] = True
-            seq_lens = seq_lens.at[slot_id].set(p)
-            tok = tok.at[slot_id].set(first_t)
-            done = done.at[slot_id].set(first_done)
-            budget = budget.at[slot_id].set(sp.max_tokens - 1)
-            # NOTE the first token is folded into out_counts when it is CONSUMED by
-            # the first chunk step (matching DecodeEngine's ordering).
+            seq_lens = seq_lens.at[slot_id].set(p - 1)
+            tok = tok.at[slot_id].set(req.prompt[-1])
+            done = done.at[slot_id].set(False)
+            budget = budget.at[slot_id].set(sp.max_tokens)
+            prompt_lens = prompt_lens.at[slot_id].set(p)
             return True
 
         def collect(slot_id: int):
@@ -376,13 +375,11 @@ class PagedDecodeEngine:
             act_dev = jnp.asarray(active)
             (self.pools, seq_lens, tok, done, budget, out_counts, key, clp, emitted) = chunk_fn(
                 self.params, self.pools, pt_dev, seq_lens, tok, act_dev, done, budget,
-                out_counts, pc_dev, key,
+                out_counts, pc_dev, prompt_lens, key,
             )
 
-            emitted_h = np.asarray(emitted)
-            done_h = np.asarray(done)
-            lens_h = np.asarray(seq_lens)
-            clp_h = np.asarray(clp)
+            # ONE host sync for the whole chunk (each transfer is a tunnel round trip)
+            emitted_h, done_h, lens_h, clp_h = jax.device_get((emitted, done, seq_lens, clp))
 
             # 4) harvest outputs, mark finished, free + refill next iteration
             for slot_id in range(self.n_slots):

@@ -74,3 +74,26 @@ def test_sampler_epoch_determinism_with_loader():
     c = list(loader)
     assert a == b
     assert a != c
+
+
+def test_alpaca_debug_loader(tiny_tokenizer_path, monkeypatch):
+    """Reference debug helper parity (ref: ssi/data/__init__.py:213-231)."""
+    import datasets as hfd
+
+    import ssi_tpu.data as dm
+    from ssi_tpu.tokenizer import setup_llama3_tokenizer
+
+    tiny_tokenizer, _ = setup_llama3_tokenizer(path=str(tiny_tokenizer_path), max_seq_len=128)
+
+    rows = [
+        {"instruction": f"Say {i}", "input": "" if i % 2 else "context", "output": f"answer {i}"}
+        for i in range(8)
+    ]
+    monkeypatch.setattr(dm, "load_hf_dataset", lambda source, **kw: hfd.Dataset.from_list(rows))
+    loader, sampler = dm.setup_alpaca_data(tiny_tokenizer, batch_size=4)
+    assert len(sampler) == 8
+    batch = next(iter(loader))
+    assert batch["tokens"].shape == (4, tiny_tokenizer.max_seq_len)
+    assert batch["labels"].shape == batch["tokens"].shape
+    # train_on_input=True: both user and assistant tokens contribute to loss
+    assert (batch["labels"] != -100).sum() > 0
