@@ -13,7 +13,13 @@ TPU rebuild of the reference checkpoint subsystem (ref: ssi/checkpoint.py:53-477
   msgpack instead of ``torch.save``.
 
 Device placement: weights are loaded host-side and transferred once; saving gathers
-shards to host then writes via safetensors (same Rust serializer the reference uses).
+shards to host then writes via safetensors.
+
+Serialization backend: the first-party C++ safetensors core
+(``ssi_tpu/native/src/safetensors.cc``, mmap zero-copy reads) is used when the
+native library builds; the upstream Rust-backed ``safetensors`` package is the
+fallback and can be forced with ``SSI_TPU_NATIVE_SAFETENSORS=0``. Both produce
+cross-readable files (tests/test_native.py verifies byte-level interop).
 """
 
 from __future__ import annotations
@@ -56,6 +62,19 @@ SHARD_FNAME = "ft-model-{cpt_idx}-of-{num_shards}"
 TRAINING_STATE_FNAME = "training_state.msgpack"
 # file suffixes never copied into step_N dirs (weights and derived artifacts)
 SUFFIXES_TO_NOT_COPY = (".safetensors", ".bin", ".pt", ".msgpack", ".index.json", ".lock", ".tmp")
+
+
+def _safetensors_backend():
+    """(safe_open, save_file) — first-party C++ core when available, else upstream."""
+    if os.environ.get("SSI_TPU_NATIVE_SAFETENSORS", "1") != "0":
+        from ssi_tpu.native import safetensors_io
+
+        if safetensors_io.available():
+            return safetensors_io.safe_open, safetensors_io.save_file
+    from safetensors import safe_open
+    from safetensors.numpy import save_file
+
+    return safe_open, save_file
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +326,7 @@ class Checkpointer:
 
     def load_hf_state_dict(self) -> dict[str, Any]:
         """Load and merge shards into a flat HF state dict of host numpy arrays."""
-        from safetensors import safe_open
+        safe_open, _ = _safetensors_backend()
 
         self._weight_map = {}
         merged: dict[str, Any] = {}
@@ -350,7 +369,7 @@ class Checkpointer:
         (safetensors.flax would re-place host arrays on the accelerator, which is
         both wasteful and corrupts non-contiguous layouts on the axon platform).
         """
-        from safetensors.numpy import save_file
+        _, save_file = _safetensors_backend()
 
         if self._weight_map is None:
             raise ValueError("Weight map is not initialized. Please load a checkpoint before saving.")
