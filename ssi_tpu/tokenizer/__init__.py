@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 from pathlib import Path
 from pprint import pformat
 from typing import Any, Iterator
@@ -98,6 +99,10 @@ class Llama3Tokenizer:
             base-model assignments in :data:`LLAMA3_SPECIAL_TOKENS`.
         max_seq_len: Maximum sequence length for truncation (``None`` = no limit).
         prompt_template: Optional callable ``list[Message] -> list[Message]``.
+        backend: "auto" (first-party C++ BPE core when buildable, bit-identical
+            to tiktoken — tests/test_native_bpe.py), "tiktoken", or "native"
+            (fail if the native library is unavailable). ``SSI_TPU_NATIVE_BPE=0``
+            forces tiktoken regardless.
     """
 
     def __init__(
@@ -106,6 +111,7 @@ class Llama3Tokenizer:
         special_tokens: dict[str, int] | None = None,
         max_seq_len: int | None = None,
         prompt_template=None,
+        backend: str = "auto",
     ):
         self.path = str(path)
         self.special_tokens = dict(special_tokens) if special_tokens is not None else dict(LLAMA3_SPECIAL_TOKENS)
@@ -121,6 +127,19 @@ class Llama3Tokenizer:
             special_tokens=self.special_tokens,
         )
         self._special_token_ids = set(self.special_tokens.values())
+
+        self._native = None
+        if backend not in ("auto", "tiktoken", "native"):
+            raise ValueError(f"Unknown tokenizer backend: {backend}")
+        if backend != "tiktoken" and os.environ.get("SSI_TPU_NATIVE_BPE", "1") != "0":
+            try:
+                from ssi_tpu.native.bpe import NativeEncoding
+
+                self._native = NativeEncoding(self.path, self.special_tokens)
+            except Exception as e:
+                if backend == "native":
+                    raise
+                LOGGER.debug(f"native BPE unavailable ({e}); using tiktoken")
 
         self.bos_id = self.special_tokens["<|begin_of_text|>"]
         self.eos_id = self.special_tokens["<|end_of_text|>"]
@@ -171,9 +190,10 @@ class Llama3Tokenizer:
             for i in range(0, len(text), MAX_ENCODE_CHARS):
                 substr = text[i : i + MAX_ENCODE_CHARS]
                 substrs.extend(self._split_long_repetitions(substr, MAX_NO_WHITESPACE_CHARS))
+            core = self._native if self._native is not None else self.tt_model
             for substr in substrs:
                 # Special token strings appearing in user data are encoded as plain text.
-                tokens.extend(self.tt_model.encode(substr, allowed_special=set(), disallowed_special=()))
+                tokens.extend(core.encode(substr, allowed_special=set(), disallowed_special=()))
         if add_bos:
             tokens.insert(0, self.bos_id)
         if add_eos:
@@ -191,7 +211,8 @@ class Llama3Tokenizer:
                 token_ids = token_ids[:k]
         if skip_special_tokens:
             token_ids = [t for t in token_ids if t not in self._special_token_ids]
-        return self.tt_model.decode(token_ids)
+        core = self._native if self._native is not None else self.tt_model
+        return core.decode(token_ids)
 
     # -- chat format -----------------------------------------------------------------
 
