@@ -154,16 +154,70 @@ def full_host_copy(tree: Any, mesh: Mesh) -> Any:
     return jax.device_get(rep)
 
 
-def make_mesh(dp: int | None = None, tp: int = 1, devices: list | None = None) -> Mesh:
-    """Create a ("dp", "tp") mesh over the available devices.
+def make_mesh(
+    dp: int | None = None,
+    tp: int = 1,
+    devices: list | None = None,
+    dcn_slices: int | None = None,
+) -> Mesh:
+    """Create a ("dp", "tp") mesh over the available devices, DCN-aware.
+
+    Multi-slice topologies (several ICI-connected TPU slices joined by data
+    center network) are handled by *device ordering*, not an extra mesh axis:
+    tensor parallelism must stay inside a slice (per-sub-layer all-reduces are
+    bandwidth-hungry and belong on ICI), while the data-parallel gradient
+    all-reduce — one collective per optimizer step — is the traffic that can
+    ride DCN. The dp axis is therefore laid out slice-major: contiguous dp
+    index ranges live on one slice, so XLA decomposes the gradient all-reduce
+    hierarchically (intra-slice reduce-scatter over ICI, small inter-slice
+    exchange over DCN). Step semantics are identical to a single-slice mesh —
+    the layout only changes which wires the collectives use.
 
     Args:
         dp: data-parallel size; ``None`` = all devices / tp.
-        tp: tensor-parallel size (must divide the device count).
+        tp: tensor-parallel size; must divide the per-slice device count.
+        devices: explicit device list (tests); default ``jax.devices()``.
+        dcn_slices: number of DCN-connected slices. ``None`` auto-detects from
+            ``device.slice_index``; pass explicitly to simulate multi-slice on
+            a flat (e.g. virtual CPU) topology, where devices are split into
+            ``dcn_slices`` equal contiguous groups.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+
+    if dcn_slices is None:
+        slice_groups: dict[int, list] = {}
+        for d in devices:
+            slice_groups.setdefault(getattr(d, "slice_index", 0) or 0, []).append(d)
+        groups = [slice_groups[k] for k in sorted(slice_groups)]
+    else:
+        if n % dcn_slices != 0:
+            raise ValueError(f"Device count {n} not divisible by dcn_slices={dcn_slices}")
+        per = n // dcn_slices
+        groups = [devices[i * per : (i + 1) * per] for i in range(dcn_slices)]
+
+    if len(groups) > 1:
+        sizes = {len(g) for g in groups}
+        if len(sizes) != 1:
+            raise ValueError(f"Unequal slice sizes {sorted(len(g) for g in groups)}; cannot build a regular mesh")
+        per = len(groups[0])
+        if per % tp != 0:
+            raise ValueError(
+                f"tp={tp} does not divide the per-slice device count {per} — "
+                f"tensor parallelism must not cross the DCN boundary"
+            )
+        dp_inner = per // tp
+        dp_total = dp_inner * len(groups)
+        if dp is not None and dp != dp_total:
+            raise ValueError(f"dp={dp} inconsistent with {len(groups)} slices x {dp_inner} per-slice dp")
+        grid = np.stack([np.asarray(g).reshape(dp_inner, tp) for g in groups])  # [S, dp_inner, tp]
+        device_grid = grid.reshape(dp_total, tp)  # slice-major dp ordering
+        LOGGER.info(
+            f"Hybrid mesh over {len(groups)} DCN slices: dp={dp_total} (slice-major) x tp={tp} (intra-slice ICI)"
+        )
+        return Mesh(device_grid, axis_names=("dp", "tp"))
+
     if dp is None:
         if n % tp != 0:
             raise ValueError(f"Device count {n} not divisible by tp={tp}")

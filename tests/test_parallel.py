@@ -87,3 +87,49 @@ def test_uneven_vocab_tp_sharding_falls_back():
     tokens = rng.integers(0, cfg.vocab_size, (4, 64)).astype(np.int32)
     loss, _ = _loss_and_grads((2, 4), tokens, tokens.copy())
     assert np.isfinite(loss)
+
+
+class TestHybridDcnMesh:
+    """Multi-slice (DCN) mesh: slice-major dp ordering, tp confined to a slice."""
+
+    def test_layout_is_slice_major(self):
+        devices = jax.devices()
+        mesh = make_mesh(tp=2, dcn_slices=2)
+        assert mesh.shape == {"dp": 4, "tp": 2}
+        grid = mesh.devices
+        # dp rows 0..1 must come from the first "slice" (contiguous device group)
+        first_slice = set(devices[:4])
+        assert set(grid[:2].ravel().tolist()) == first_slice
+        assert set(grid[2:].ravel().tolist()) == set(devices[4:])
+        # every tp pair lives inside one slice
+        for row in grid:
+            assert {d in first_slice for d in row} in ({True}, {False})
+
+    def test_tp_crossing_dcn_rejected(self):
+        with pytest.raises(ValueError, match="DCN boundary"):
+            make_mesh(tp=8, dcn_slices=2)  # per-slice count 4 < tp
+
+    def test_unequal_and_indivisible_slices_rejected(self):
+        with pytest.raises(ValueError, match="not divisible"):
+            make_mesh(tp=1, dcn_slices=3)
+
+    def test_training_step_matches_single_slice(self):
+        """A 2-slice hybrid mesh computes the same loss/grads as dp=8 flat."""
+        cfg = helpers.tiny_config()
+        rng = np.random.default_rng(1)
+        tokens = rng.integers(0, cfg.vocab_size, (8, 64)).astype(np.int32)
+        labels = tokens.copy()
+
+        ref_loss, ref_grads = _loss_and_grads((8, 1), tokens, labels)
+
+        from ssi_tpu.train.step import make_loss_fn
+
+        mesh = make_mesh(dcn_slices=2, tp=2)
+        params = shard_params(mesh, init_params(cfg, jax.random.key(0), dtype=jnp.float32))
+        loss_fn = make_loss_fn(cfg, attn_impl="xla", remat=False, chunk_size=64)
+        grad_fn = jax.jit(jax.value_and_grad(lambda p, t, y: loss_fn(p, t, y)[0]))
+        bsh = batch_sharding(mesh, accum_axis=False)
+        loss, grads = grad_fn(params, jax.device_put(tokens, bsh), jax.device_put(labels, bsh))
+        assert float(loss) == pytest.approx(ref_loss, rel=1e-5)
+        for a, b in zip(jax.tree.leaves(jax.device_get(grads)), jax.tree.leaves(ref_grads)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5)
