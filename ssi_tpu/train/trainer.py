@@ -229,12 +229,23 @@ class Trainer:
                 "nu": p_shardings,
                 "count": replicated(self.mesh),
             }
-            opt_state = jax.tree.map(
-                lambda x, s: jax.device_put(jnp.asarray(x), s),
-                host_opt,
-                shardings,
-                is_leaf=lambda x: isinstance(x, (np.ndarray, jnp.ndarray, int, float)),
-            )
+            from ssi_tpu.checkpoint.orbax_io import is_orbax_marker, restore_opt_state
+
+            if is_orbax_marker(host_opt):
+                opt_state = restore_opt_state(
+                    host_opt,
+                    Path(self.checkpointer.training_state_checkpoint).parent,
+                    params,
+                    self.opt_cfg,
+                    shardings,
+                )
+            else:
+                opt_state = jax.tree.map(
+                    lambda x, s: jax.device_put(jnp.asarray(x), s),
+                    host_opt,
+                    shardings,
+                    is_leaf=lambda x: isinstance(x, (np.ndarray, jnp.ndarray, int, float)),
+                )
             self.state["opt_state"] = opt_state
             self.state["step"] = jnp.asarray(self.global_step, jnp.int32)
         else:
@@ -540,9 +551,20 @@ class Trainer:
         # Cross-host-sharded state is not fully addressable: all ranks join the
         # all-gather (a collective), then only rank 0 touches the filesystem.
         host_params = full_host_copy(self.state["params"], self.mesh)
-        host_opt = full_host_copy(self.state["opt_state"], self.mesh)
         rng_state = save_rng_states()
         step = self.global_step
+        sharded_opt = bool(self.cfg.get("sharded_optimizer_state", False))
+        if sharded_opt:
+            # Orbax sharded save: every process writes its own shards in
+            # parallel (collective — must run on the training thread, not the
+            # async-save worker); msgpack stores only a directory marker.
+            from ssi_tpu.checkpoint.orbax_io import save_opt_state
+
+            host_opt = save_opt_state(
+                self.state["opt_state"], Path(self.checkpointer.output_dir), step
+            )
+        else:
+            host_opt = full_host_copy(self.state["opt_state"], self.mesh)
         kwargs = dict(
             optimizer_state=host_opt,
             lr_scheduler_state={"last_step": step},
@@ -565,6 +587,11 @@ class Trainer:
             self.checkpointer.save_model_checkpoint(host_params, self._llama_config, step)
             self.checkpointer.save_training_state(**kwargs)
             self._prune_checkpoints(keep_step=step)
+            if sharded_opt:
+                from ssi_tpu.checkpoint.orbax_io import prune_old_opt_states
+
+                # only after the state msgpack referencing `step` is on disk
+                prune_old_opt_states(Path(self.checkpointer.output_dir), keep_step=step)
 
         if bool(self.cfg.get("async_save", False)):
             import concurrent.futures

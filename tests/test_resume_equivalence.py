@@ -17,7 +17,7 @@ HALF_STEPS = 4
 TIMING_KEYS = {"duration_step", "tokens_per_second_per_gpu", "train_clock_time"}
 
 
-def run_trainer(model_dir, ckpt_dir, max_steps, training_state=None, save_steps=HALF_STEPS, mesh=None):
+def run_trainer(model_dir, ckpt_dir, max_steps, training_state=None, save_steps=HALF_STEPS, mesh=None, extra_cfg=None):
     from ssi_tpu.train import Trainer
 
     cfg_dict = helpers.base_train_cfg_dict(model_dir, ckpt_dir, kind="sft")
@@ -26,6 +26,8 @@ def run_trainer(model_dir, ckpt_dir, max_steps, training_state=None, save_steps=
     cfg_dict["eval_steps"] = save_steps
     if mesh is not None:
         cfg_dict["parallel"] = {"dp": mesh[0], "tp": mesh[1]}
+    if extra_cfg:
+        cfg_dict.update(extra_cfg)
     # Constant LR: a cosine schedule depends on max_steps, which differs between the
     # full and interrupted runs (same choice as ref: tests/test_resume_equivalence.py:128).
     cfg_dict["lr_scheduler"] = None
@@ -128,6 +130,46 @@ def test_resume_across_mesh_relayout(model_dir, tmp_path, monkeypatch, mesh_a, m
     # first half ran on the same layout as the full run -> bitwise
     assert losses_a == losses_full[:HALF_STEPS]
     # second half ran on a different layout -> fp32-rounding agreement
+    for got, want in zip(losses_b, losses_full[HALF_STEPS:]):
+        assert got == pytest.approx(want, rel=1e-5), (losses_b, losses_full[HALF_STEPS:])
+
+
+def test_resume_sharded_optimizer_state(model_dir, tmp_path, monkeypatch):
+    """Orbax sharded optimizer state: bitwise resume on the same mesh, fp32
+    agreement across a relayout, marker in msgpack, superseded dirs pruned."""
+    pytest.importorskip("orbax.checkpoint")
+    from ssi_tpu.checkpoint import TRAINING_STATE_FNAME, unpack_state
+    from ssi_tpu.checkpoint.orbax_io import ORBAX_DIR_KEY
+    from ssi_tpu.constants import OPTIMIZER_KEY
+
+    _patch_data(monkeypatch)
+    sharded = {"sharded_optimizer_state": True}
+
+    _, losses_full, _ = run_trainer(model_dir, tmp_path / "full", TOTAL_STEPS, mesh=(2, 4))
+
+    # interrupted run saves at HALF and TOTAL -> the TOTAL save must prune HALF's dir
+    _, losses_a, _ = run_trainer(
+        model_dir, tmp_path / "int", HALF_STEPS, save_steps=HALF_STEPS // 2, mesh=(2, 4), extra_cfg=sharded
+    )
+    state_path = tmp_path / "int" / TRAINING_STATE_FNAME
+    raw = unpack_state(state_path.read_bytes())
+    opt_entry = raw[OPTIMIZER_KEY]
+    assert isinstance(opt_entry, dict) and ORBAX_DIR_KEY in opt_entry
+    assert (tmp_path / "int" / opt_entry[ORBAX_DIR_KEY]).is_dir()
+    orbax_dirs = list((tmp_path / "int").glob("optimizer_state_orbax_step*"))
+    assert len(orbax_dirs) == 1, orbax_dirs  # step_2's dir pruned by step_4's save
+
+    # resume on a DIFFERENT mesh layout: orbax re-shards on read
+    t2, losses_b, _ = run_trainer(
+        model_dir=tmp_path / "int" / f"step_{HALF_STEPS}",
+        ckpt_dir=tmp_path / "res",
+        max_steps=TOTAL_STEPS,
+        training_state=state_path,
+        mesh=(1, 8),
+        extra_cfg=sharded,
+    )
+    assert t2.global_step == TOTAL_STEPS
+    assert losses_a == losses_full[:HALF_STEPS]
     for got, want in zip(losses_b, losses_full[HALF_STEPS:]):
         assert got == pytest.approx(want, rel=1e-5), (losses_b, losses_full[HALF_STEPS:])
 
