@@ -4,29 +4,36 @@ TPU-native replacement for vLLM's paged attention (ref: scripts/generate.py:112
 relies on vLLM's CUDA paged-attention kernels; BASELINE north star names the
 Pallas paged-attention batched decode loop). Design:
 
-- K/V pools are ``[n_pages, page_size, Hkv, hd]`` per layer (stacked to
-  ``[L, n_pages, ...]``). A **page table** ``[slots, max_pages]`` maps each decode
-  slot's logical blocks to physical pages; ``seq_lens [slots]`` gives the valid
-  length. Pages are allocated host-side from a free list (the scheduler), so slots
-  with short sequences never reserve memory for the worst case.
-- Sequences are **not padded**: slot tokens occupy positions ``0..len-1`` and RoPE
-  positions equal the true index — unlike the dense engine's left-padding.
-- ``paged_attention`` (XLA): gathers each slot's pages into a dense view and runs
-  grouped-query attention — correctness-first, runs everywhere, and XLA keeps the
-  gather+einsum on-device with no host trips.
+- ONE flat physical pool per K and V: ``[L*n_pages + 1, ps, Hkv*hd]``. A
+  logical page id ``p`` of layer ``l`` lives at physical row ``l*n_pages + p``,
+  so per-layer access is a page-id *offset*, never an array slice. This is the
+  load-bearing layout decision: scanning layer-sliced pools through the decode
+  loop costs a dynamic-slice + dynamic-update-slice of the full 40+ MB layer
+  slice per layer per token (profiled at ~50% of decode step time on v5e);
+  with the flat pool the per-layer cache update is a 32-cell scatter and the
+  whole pool rides the scan carry in place, zero copies.
+- The LAST physical row is a **trash page**: writes that must happen shape-wise
+  but carry no information (prefill padding rows/positions) are pointed there.
+- A host-side free list allocates logical pages lazily (the scheduler in
+  paged_engine.py); a **page table** ``[slots, max_pages]`` maps each decode
+  slot's logical blocks to logical page ids; ``seq_lens [slots]`` gives the
+  valid length. Sequences are not padded: RoPE positions equal true indices.
+- ``paged_attention`` (XLA): gathers each slot's pages into a dense view —
+  correctness-first, runs everywhere (CPU tests).
 - ``paged_attention_pallas``: Pallas TPU kernel with a scalar-prefetched page
-  table — each grid step DMAs exactly one physical page HBM->VMEM and folds it
-  into flash-style running (max, sum, acc) statistics, never materializing the
-  gathered cache. Used automatically on TPU (``impl="auto"``).
+  table — DMAs physical pages HBM->VMEM and folds them into flash-style
+  running statistics, never materializing the gathered view. Default on TPU.
+- Prefill is **batched**: ``prefill_prompts`` takes ``[B, P]`` right-padded
+  prompts and writes all their pages in one dispatch (one weights read for B
+  prompts instead of B — admission cost through the device-dispatch tunnel was
+  ~50 ms/prompt unbatched).
 
-All functions are shape-static: ``max_pages`` bounds the context
-(``max_pages * page_size``), and masking by ``seq_lens`` handles raggedness, so
+All functions are shape-static; masking by ``seq_lens`` handles raggedness, so
 one compiled program serves every mix of prompt/output lengths.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -40,54 +47,62 @@ NEG_INF = -1.0e30
 
 
 def init_pools(cfg: ConfigLlama3_2, n_pages: int, page_size: int, dtype=jnp.bfloat16) -> dict[str, jnp.ndarray]:
-    """Allocate the paged K/V pools: ``[L, n_pages, page_size, Hkv, hd]``."""
-    shape = (cfg.num_layers, n_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+    """Flat paged K/V pools: ``[L*n_pages + 1, ps, Hkv*hd]`` (+1 = trash page).
+
+    Pages are stored head-flattened (``Hkv*hd`` = 512 lanes for the 1B
+    config): the Pallas kernel DMAs pages in exactly this 2D tile form, and
+    keeping the storage layout identical to the kernel operand layout means
+    no reshape sits between the scan carry and the custom call — a
+    bitcast-looking reshape there materialized a full pool copy per layer.
+
+    ``n_pages`` is the LOGICAL (per-layer) pool size; callers thread it as a
+    static python int (it determines physical row arithmetic, not a traced
+    value).
+    """
+    shape = (cfg.num_layers * n_pages + 1, page_size, cfg.num_kv_heads * cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def write_token_kv(pool: jnp.ndarray, kv: jnp.ndarray,
-                   page_ids: jnp.ndarray, offsets: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
-    """Scatter one new token's K or V per slot into its current page.
+                   phys_ids: jnp.ndarray, offsets: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """Scatter one new token's K or V per slot into its physical page.
 
-    pool: [n_pages, ps, Hkv, hd] (single layer); kv: [slots, Hkv, hd];
-    page_ids/offsets: [slots] physical page and in-page offset; active: [slots]
-    bool — an inactive slot re-writes the value already present at its cell
-    (scatter must be total for XLA, so the no-op is a same-value overwrite).
+    pool: [rows, ps, Hkv*hd] (flat); kv: [slots, Hkv, hd]; phys_ids/offsets:
+    [slots] physical row and in-page offset; active: [slots] bool — inactive
+    slots are redirected to the trash page (scatter must be total for XLA).
     """
-    # For inactive slots, write the value already present (no-op) — scatter must
-    # be total for XLA, so read-modify-write the same cell.
-    current = pool[page_ids, offsets]  # [slots, Hkv, hd]
-    val = jnp.where(active[:, None, None], kv.astype(pool.dtype), current)
-    return pool.at[page_ids, offsets].set(val)
+    trash = pool.shape[0] - 1
+    rows = jnp.where(active, phys_ids, trash)
+    return pool.at[rows, offsets].set(kv.astype(pool.dtype).reshape(kv.shape[0], -1))
 
 
-def gather_pages(pool: jnp.ndarray, page_table: jnp.ndarray) -> jnp.ndarray:
-    """Dense view of a slot-major paged pool: [slots, max_pages*ps, Hkv, hd]."""
-    n_slots, max_pages = page_table.shape
-    g = pool[page_table]  # [slots, max_pages, ps, Hkv, hd]
-    return g.reshape(n_slots, max_pages * pool.shape[1], *pool.shape[2:])
+def gather_pages(pool: jnp.ndarray, phys_table: jnp.ndarray, hkv: int) -> jnp.ndarray:
+    """Dense view of one layer's pages: [slots, max_pages*ps, Hkv, hd]."""
+    n_slots, max_pages = phys_table.shape
+    g = pool[phys_table]  # [slots, max_pages, ps, Hkv*hd]
+    return g.reshape(n_slots, max_pages * pool.shape[1], hkv, pool.shape[2] // hkv)
 
 
 def paged_attention(
     q: jnp.ndarray,
     k_pool: jnp.ndarray,
     v_pool: jnp.ndarray,
-    page_table: jnp.ndarray,
+    phys_table: jnp.ndarray,
     seq_lens: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Single-token grouped-query attention over a paged KV cache (XLA gather).
+    """Single-token grouped-query attention over the flat paged pool (XLA gather).
 
-    q: [slots, Hq, hd] (post-RoPE); k_pool/v_pool: [n_pages, ps, Hkv, hd];
-    page_table: [slots, max_pages]; seq_lens: [slots] — number of valid cache
-    tokens INCLUDING the current one (already written). Returns [slots, Hq, hd].
+    q: [slots, Hq, hd] (post-RoPE); k_pool/v_pool: [rows, ps, Hkv*hd];
+    phys_table: [slots, max_pages] PHYSICAL rows (layer offset applied);
+    seq_lens: [slots] — valid cache tokens INCLUDING the current one (already
+    written). Returns [slots, Hq, hd].
     """
     n_slots, hq, hd = q.shape
-    ps = k_pool.shape[1]
-    hkv = k_pool.shape[2]
+    hkv = k_pool.shape[2] // hd
     n_rep = hq // hkv
 
-    k = gather_pages(k_pool, page_table)  # [S, M, Hkv, hd]
-    v = gather_pages(v_pool, page_table)
+    k = gather_pages(k_pool, phys_table, hkv)  # [S, M, Hkv, hd]
+    v = gather_pages(v_pool, phys_table, hkv)
     m = k.shape[1]
 
     qg = q.reshape(n_slots, hkv, n_rep, hd)
@@ -101,21 +116,23 @@ def paged_attention(
 
 
 def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Causal self-attention over one un-padded prompt (prefill, batch of slots=1).
+    """Causal self-attention over right-padded prompts (batched prefill).
 
-    q: [T, Hq, hd]; k/v: [T, Hkv, hd]. Returns [T, Hq, hd].
+    q: [B, T, Hq, hd]; k/v: [B, T, Hkv, hd]. Padding positions produce garbage
+    that lands on trash/overwritten pages — valid prefixes are causally isolated.
+    Returns [B, T, Hq, hd].
     """
-    t, hq, hd = q.shape
-    hkv = k.shape[1]
+    b, t, hq, hd = q.shape
+    hkv = k.shape[2]
     n_rep = hq // hkv
-    qg = q.reshape(t, hkv, n_rep, hd)
+    qg = q.reshape(b, t, hkv, n_rep, hd)
     scale = 1.0 / (hd**0.5)
-    logits = jnp.einsum("tkgd,mkd->kgtm", qg, k.astype(q.dtype), preferred_element_type=jnp.float32) * scale
+    logits = jnp.einsum("btkgd,bmkd->bkgtm", qg, k.astype(q.dtype), preferred_element_type=jnp.float32) * scale
     causal = jnp.arange(t, dtype=jnp.int32)[:, None] >= jnp.arange(t, dtype=jnp.int32)[None, :]
-    logits = jnp.where(causal[None, None, :, :], logits, NEG_INF)
+    logits = jnp.where(causal[None, None, None, :, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("kgtm,mkd->tkgd", probs.astype(v.dtype), v)
-    return out.reshape(t, hq, hd)
+    out = jnp.einsum("bkgtm,bmkd->btkgd", probs.astype(v.dtype), v)
+    return out.reshape(b, t, hq, hd)
 
 
 # ----------------------------------------------------------------------------------
@@ -139,36 +156,45 @@ def decode_step_tokens(
     params: Any,
     tokens: jnp.ndarray,
     cfg: ConfigLlama3_2,
-    pools: dict[str, jnp.ndarray],
+    pools: dict[str, Any],
     page_table: jnp.ndarray,
     seq_lens: jnp.ndarray,
     active: jnp.ndarray,
     *,
+    n_pages: int,
     attn_impl: str = "gather",
-) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    """Advance every active slot by ONE token over the paged cache.
+) -> tuple[jnp.ndarray, dict[str, Any]]:
+    """Advance every active slot by ONE token over the flat paged cache.
 
-    tokens: [slots] current input token per slot (the one being fed);
-    seq_lens: [slots] valid cache length BEFORE this token. Writes the new K/V at
-    position ``seq_lens`` (page ``seq_lens // ps``), attends over
-    ``seq_lens + 1`` entries, and returns (fp32 logits [slots, V], new pools).
+    tokens: [slots] current input token per slot; seq_lens: [slots] valid cache
+    length BEFORE this token; page_table: [slots, max_pages] LOGICAL page ids.
+    Writes the new K/V at position ``seq_lens``, attends over ``seq_lens + 1``
+    entries, returns (fp32 logits [slots, V], pools).
     """
-    ps = pools["k"].shape[2]
+    ps = pools["k"].shape[1]
     n_slots = tokens.shape[0]
     positions = seq_lens[:, None]  # [slots, 1] — position of the incoming token
     cos, sin = _rope_for_positions(positions, cfg)  # [slots, 1, hd]
 
     page_idx = seq_lens // ps
-    page_ids = jnp.take_along_axis(page_table, page_idx[:, None], axis=1)[:, 0]
+    logical_ids = jnp.take_along_axis(page_table, page_idx[:, None], axis=1)[:, 0]
     offsets = seq_lens % ps
     attn_lens = seq_lens + 1  # attend over history + self (inactive slots masked upstream)
 
     h = params["embed"][tokens]  # [slots, D]
     hd = cfg.head_dim
+    kp, vp = pools["k"], pools["v"]
 
-    def body(carry, xs):
-        h = carry
-        layer, k_pool, v_pool = xs
+    if attn_impl == "pallas":
+        from ssi_tpu.generate.paged_pallas import paged_attention_pallas
+    else:
+        paged_attention_pallas = None
+
+    trash = pools["k"].shape[0] - 1
+
+    def body(carry, layer):
+        h, kp, vp, l = carry
+        base = l * n_pages
         x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
         q = (x @ layer["wq"]).reshape(n_slots, cfg.num_heads, hd)
         k = (x @ layer["wk"]).reshape(n_slots, cfg.num_kv_heads, hd)
@@ -176,73 +202,85 @@ def decode_step_tokens(
         # RoPE on the single position (apply_rope expects [B, S, H, d])
         q = apply_rope(q[:, None], cos[:, :1], sin[:, :1])[:, 0]
         k = apply_rope(k[:, None], cos[:, :1], sin[:, :1])[:, 0]
-        k_pool = write_token_kv(k_pool, k, page_ids, offsets, active)
-        v_pool = write_token_kv(v_pool, v, page_ids, offsets, active)
-        if attn_impl == "pallas":
-            from ssi_tpu.generate.paged_pallas import paged_attention_pallas
-
-            attn = paged_attention_pallas(q, k_pool, v_pool, page_table, attn_lens)
+        phys_table = base + page_table  # [slots, max_pages]
+        if paged_attention_pallas is not None:
+            # Fused write+attend: the kernel writes the incoming token's K/V
+            # into the (input->output aliased) pool itself — an XLA-side
+            # scatter whose result feeds a custom call forces a full pool
+            # copy per layer (see paged_pallas.py).
+            write_rows = jnp.where(active, base + logical_ids, trash)
+            attn, kp, vp = paged_attention_pallas(
+                q, kp, vp, phys_table, attn_lens,
+                k_new=k, v_new=v, write_rows=write_rows,
+            )
         else:
-            attn = paged_attention(q, k_pool, v_pool, page_table, attn_lens)
+            kp = write_token_kv(kp, k, base + logical_ids, offsets, active)
+            vp = write_token_kv(vp, v, base + logical_ids, offsets, active)
+            attn = paged_attention(q, kp, vp, phys_table, attn_lens)
         h = h + attn.reshape(n_slots, cfg.num_heads * hd).astype(h.dtype) @ layer["wo"]
         x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
         h = h + (jax.nn.silu(x @ layer["w_gate"]) * (x @ layer["w_up"])) @ layer["w_down"]
-        return h, (k_pool, v_pool)
+        return (h, kp, vp, l + 1), None
 
-    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], pools["k"], pools["v"]))
+    (h, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
     logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, {"k": kp, "v": vp}
 
 
-def prefill_prompt(
+def prefill_prompts(
     params: Any,
     tokens: jnp.ndarray,
-    length: jnp.ndarray,
     cfg: ConfigLlama3_2,
-    pools: dict[str, jnp.ndarray],
+    pools: dict[str, Any],
     page_ids: jnp.ndarray,
-) -> dict[str, jnp.ndarray]:
-    """Prefill ONE prompt into its pages (K/V write only — no logits).
+    *,
+    n_pages: int,
+) -> dict[str, Any]:
+    """Prefill a BATCH of prompts into their pages (K/V write only — no logits).
 
-    tokens: [P] right-padded to the bucket length; length: scalar true length
-    (kept for interface stability; the caller seeds decode at ``length - 1`` so
-    the first chunk step recomputes the last prompt position and samples the
-    first output on device — admission stays free of host round trips);
-    page_ids: [P // ps] physical pages receiving the prompt K/V. The scheduler
-    allocates pages for the full bucket length P, so pad-position K/V lands in
-    slot-owned pages; decode masks them via seq_lens and overwrites them in place
-    as real tokens reach those offsets.
+    tokens: [B, P] right-padded to the shared bucket length; page_ids:
+    [B, P // ps] LOGICAL pages receiving each prompt's K/V — point unused rows
+    or beyond-own-bucket positions at the trash page id
+    (``n_pages`` works: physical ``l*n_pages + n_pages`` < trash row only for
+    l < L-1; use ``trash_logical_id`` below for the always-safe id). Pad
+    positions' K/V land in slot-owned or trash pages; decode masks them via
+    seq_lens and overwrites in place as real tokens reach those offsets.
+
+    The caller seeds decode at ``len - 1`` so the first chunk step recomputes
+    the last prompt position and samples the first output on device — admission
+    stays free of host round trips.
 
     Returns the updated pools.
     """
-    p = tokens.shape[0]
-    ps = pools["k"].shape[2]
+    b, p = tokens.shape
+    ps = pools["k"].shape[1]
     assert p % ps == 0, (p, ps)
     positions = jnp.arange(p, dtype=jnp.int32)[None, :]
     cos, sin = _rope_for_positions(positions, cfg)
     hd = cfg.head_dim
+    trash = pools["k"].shape[0] - 1
 
-    h = params["embed"][tokens]  # [P, D]
+    h = params["embed"][tokens]  # [B, P, D]
+    kp, vp = pools["k"], pools["v"]
 
-    def body(carry, xs):
-        h = carry
-        layer, k_pool, v_pool = xs
+    def body(carry, layer):
+        h, kp, vp, l = carry
         x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
-        q = (x @ layer["wq"]).reshape(p, cfg.num_heads, hd)
-        k = (x @ layer["wk"]).reshape(p, cfg.num_kv_heads, hd)
-        v = (x @ layer["wv"]).reshape(p, cfg.num_kv_heads, hd)
-        q = apply_rope(q[None], cos, sin)[0]
-        k = apply_rope(k[None], cos, sin)[0]
+        q = (x @ layer["wq"]).reshape(b, p, cfg.num_heads, hd)
+        k = (x @ layer["wk"]).reshape(b, p, cfg.num_kv_heads, hd)
+        v = (x @ layer["wv"]).reshape(b, p, cfg.num_kv_heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
         attn = prefill_attention(q, k, v)
-        h = h + attn.reshape(p, cfg.num_heads * hd).astype(h.dtype) @ layer["wo"]
+        h = h + attn.reshape(b, p, cfg.num_heads * hd).astype(h.dtype) @ layer["wo"]
         x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
         h = h + (jax.nn.silu(x @ layer["w_gate"]) * (x @ layer["w_up"])) @ layer["w_down"]
-        # scatter K/V pages: [P] -> [P//ps, ps, Hkv, hd] written to page_ids
-        k_pool = k_pool.at[page_ids].set(k.astype(k_pool.dtype).reshape(p // ps, ps, cfg.num_kv_heads, hd))
-        v_pool = v_pool.at[page_ids].set(v.astype(v_pool.dtype).reshape(p // ps, ps, cfg.num_kv_heads, hd))
-        return h, (k_pool, v_pool)
+        # write pages: [B, P] -> [B*P//ps, ps, Hkv, hd] at physical rows
+        phys = jnp.where(page_ids >= n_pages, trash, l * n_pages + page_ids).reshape(-1)
+        kp = kp.at[phys].set(k.astype(kp.dtype).reshape(b * p // ps, ps, cfg.num_kv_heads * hd))
+        vp = vp.at[phys].set(v.astype(vp.dtype).reshape(b * p // ps, ps, cfg.num_kv_heads * hd))
+        return (h, kp, vp, l + 1), None
 
-    _, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], pools["k"], pools["v"]))
-    del length  # see docstring
-    return {"k": new_k, "v": new_v}
+    (_, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
+    return {"k": kp, "v": vp}

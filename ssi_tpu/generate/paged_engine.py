@@ -18,8 +18,10 @@ program) with the vLLM-style serving shape the reference leans on
   preempted vLLM-style: its pages are freed and it is re-queued for a fresh
   prefill later.
 
-Compiled programs: ONE decode-chunk program + one prefill program per prompt
-bucket (a handful), versus the dense engine's program per (batch, bucket).
+Compiled programs: ONE decode-chunk program + one prefill program per
+(prompt bucket, power-of-two group size) — admissions are batched so a group
+of G prompts prefills in one dispatch (one weights read instead of G), versus
+the dense engine's program per (batch, bucket).
 
 Greedy parity: with ``temperature=0`` the emitted tokens match ``DecodeEngine``
 (same attention set, same RoPE positions, same fp32 logits math) — asserted in
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssi_tpu.generate.engine import SamplingParams, _sample
-from ssi_tpu.generate.paged import decode_step_tokens, init_pools, prefill_prompt
+from ssi_tpu.generate.paged import decode_step_tokens, init_pools, prefill_prompts
 from ssi_tpu.models.configs import ConfigLlama3_2
 from ssi_tpu.utils import round_up as _round_up
 
@@ -105,6 +107,11 @@ class PagedDecodeEngine:
         self.prompt_bucket = prompt_bucket
         self.chunk = chunk
         if attn_impl == "auto":
+            # v5e, 1B, 32 slots x ~700-token contexts: the fused Pallas kernel
+            # (in-kernel token write, aliased HBM pools, valid-pages-only DMA)
+            # serves 2.49k tok/s end-to-end vs 2.0k for the XLA gather path —
+            # and the gap widens with context (gather materializes the whole
+            # padded view per step, the kernel reads only valid pages).
             attn_impl = "pallas" if jax.devices()[0].platform == "tpu" else "gather"
         self.attn_impl = attn_impl
         if n_pages is None:
@@ -117,18 +124,24 @@ class PagedDecodeEngine:
         self._slots = [_Slot() for _ in range(n_slots)]
         # host mirrors of device state
         self._page_table = np.zeros((n_slots, self.max_pages_per_seq), np.int32)
-        self._prefill_cache: dict[tuple[int, bool], Any] = {}
+        self._prefill_cache: dict[tuple[int, int], Any] = {}
         self._chunk_fn_cache: dict[Any, Any] = {}
 
     # --- compiled programs -------------------------------------------------------
 
-    def _prefill_fn(self, p: int):
-        key = p
+    # Prefill group sizes: admissions are batched into one dispatch per
+    # (bucket, group) — a group of G prompts costs ONE weights read instead of
+    # G. Power-of-two groups bound the compile count.
+    PREFILL_GROUPS = (8, 4, 2, 1)
+
+    def _prefill_fn(self, p: int, group: int):
+        key = (p, group)
         if key not in self._prefill_cache:
             cfg = self.cfg
+            n_pages = self.n_pages
 
-            def prefill(params, pools, tokens, length, page_ids):
-                return prefill_prompt(params, tokens, length, cfg, pools, page_ids)
+            def prefill(params, pools, tokens, page_ids):
+                return prefill_prompts(params, tokens, cfg, pools, page_ids, n_pages=n_pages)
 
             self._prefill_cache[key] = jax.jit(prefill, donate_argnums=(1,))
         return self._prefill_cache[key]
@@ -142,13 +155,16 @@ class PagedDecodeEngine:
         attn_impl = self.attn_impl
         stop_ids = jnp.asarray(sp.stop_token_ids, jnp.int32) if sp.stop_token_ids else jnp.zeros((0,), jnp.int32)
 
+        n_pages = self.n_pages
+
         def chunk(params, pools, page_table, seq_lens, tok, active, done, budget,
                   out_counts, prompt_counts, prompt_lens, key):
             def step(carry, _):
                 pools, seq_lens, tok, done, budget, out_counts, key, clp = carry
                 advance = jnp.logical_and(active, jnp.logical_not(done))
                 logits, pools = decode_step_tokens(
-                    params, tok, cfg, pools, page_table, seq_lens, advance, attn_impl=attn_impl
+                    params, tok, cfg, pools, page_table, seq_lens, advance,
+                    n_pages=n_pages, attn_impl=attn_impl,
                 )
                 if sp.uses_penalties:
                     # the consumed token is an OUTPUT only once the cache has
@@ -216,13 +232,17 @@ class PagedDecodeEngine:
             self._page_table[slot_id, len(slot.pages) - 1] = got[0]
         return True
 
-    def _preempt_youngest(self, queue: list[_Request]) -> bool:
-        """Free the youngest active unfinished slot, re-queueing its request."""
+    def _preempt_youngest(self, queue: list[_Request]) -> int | None:
+        """Free the youngest active unfinished slot, re-queueing its request.
+
+        Returns the victim slot id (the caller must clear its ``active`` flag
+        so the in-flight decode mask stops advancing it), or None if nothing
+        is preemptible."""
         candidates = [
             (s.n_out, i) for i, s in enumerate(self._slots) if s.req is not None and not s.done
         ]
         if not candidates:
-            return False
+            return None
         _, victim = min(candidates)
         slot = self._slots[victim]
         LOGGER.warning(
@@ -233,7 +253,7 @@ class PagedDecodeEngine:
         slot.req.clp = 0.0
         queue.insert(0, slot.req)
         self._free_slot(slot)
-        return True
+        return victim
 
     # --- main loop -------------------------------------------------------------------
 
@@ -279,27 +299,22 @@ class PagedDecodeEngine:
         stop_set = set(sp.stop_token_ids)
         chunk_fn = self._chunk_fn(sp)
 
-        def admit(slot_id: int) -> bool:
+        def admit_slot(slot_id: int) -> tuple[int, int] | None:
+            """Claim pages + host/device slot state; returns (slot_id, bucket)
+            for the batched prefill pass, or None when the pool is tight."""
             nonlocal seq_lens, tok, done, budget, prompt_lens, out_counts
             req = queue[0]
             p = len(req.prompt)
             p_bucket = _round_up(p, self.prompt_bucket)
             slot = self._slots[slot_id]
             if not self._ensure_capacity(slot_id, p_bucket):
-                return False
+                return None
             queue.pop(0)
             slot.req = req
             slot.seq_len = p - 1
             slot.n_out = 0
             slot.done = False
 
-            tokens = np.full((p_bucket,), self.pad_id, np.int32)
-            tokens[:p] = req.prompt
-            n_pref = p_bucket // self.page_size
-            page_ids = jnp.asarray(self._page_table[slot_id, :n_pref])
-            self.pools = self._prefill_fn(p_bucket)(
-                self.params, self.pools, jnp.asarray(tokens), jnp.int32(p), page_ids
-            )
             if use_pen:
                 cnt = np.zeros((v,), np.float32)
                 np.add.at(cnt, req.prompt, 1.0)
@@ -312,7 +327,28 @@ class PagedDecodeEngine:
             done = done.at[slot_id].set(False)
             budget = budget.at[slot_id].set(sp.max_tokens)
             prompt_lens = prompt_lens.at[slot_id].set(p)
-            return True
+            return slot_id, p_bucket
+
+        def prefill_admitted(admitted: list[tuple[int, int]]) -> None:
+            """Dispatch batched prefills: one program per (group bucket, group
+            size), padding rows and beyond-own-bucket pages to the trash id."""
+            pending = sorted(admitted, key=lambda t: t[1])  # by bucket
+            trash = self.n_pages  # logical sentinel -> trash row in prefill_prompts
+            while pending:
+                g = next(s for s in self.PREFILL_GROUPS if s <= len(pending))
+                batch, pending = pending[:g], pending[g:]
+                bucket = max(b for _, b in batch)
+                n_pages_row = bucket // self.page_size
+                tokens = np.full((g, bucket), self.pad_id, np.int32)
+                page_ids = np.full((g, n_pages_row), trash, np.int32)
+                for r, (slot_id, own_bucket) in enumerate(batch):
+                    s = self._slots[slot_id]
+                    tokens[r, : len(s.req.prompt)] = s.req.prompt
+                    own_n = own_bucket // self.page_size
+                    page_ids[r, :own_n] = self._page_table[slot_id, :own_n]
+                self.pools = self._prefill_fn(bucket, g)(
+                    self.params, self.pools, jnp.asarray(tokens), jnp.asarray(page_ids)
+                )
 
         def collect(slot_id: int):
             slot = self._slots[slot_id]
@@ -328,63 +364,25 @@ class PagedDecodeEngine:
             self._free_slot(slot)
             active[slot_id] = False
 
-        while len(results) < n_total:
-            # 1) admit new prompts into free slots
-            admitted_any = False
-            for slot_id in range(self.n_slots):
-                if not queue:
-                    break
-                if self._slots[slot_id].req is None:
-                    if not admit(slot_id):
-                        break  # pool tight: stop admitting, let running slots finish
-                    admitted_any = True
+        # One chunk is kept IN FLIGHT while the previous chunk's results are
+        # harvested: the device_get sync costs a full host<->device round trip
+        # (~100 ms through the axon dev tunnel, still material on real hosts),
+        # and pipelining hides it behind the next chunk's compute. Bookkeeping
+        # consequences: page capacity is provisioned two chunks ahead for
+        # in-flight slots, harvests identity-check the request (a slot freed
+        # and re-admitted between dispatch and harvest is skipped — its old
+        # request was fully collected when it went done), and a request that
+        # finishes mid-flight idles its slot for one extra chunk (done latches
+        # on device, so it stops advancing; it is collected next harvest).
+        pending: dict | None = None  # futures + per-slot dispatch snapshot
 
-            # collect any requests that finished during admission (stop on 1st token)
-            for slot_id in range(self.n_slots):
-                s = self._slots[slot_id]
-                if s.req is not None and s.done:
-                    collect(slot_id)
-            if not any(s.req is not None for s in self._slots):
-                if queue and not admitted_any:
-                    # nothing is running, every page is free, and a prompt still
-                    # does not fit: the pool is fundamentally undersized
-                    raise RuntimeError("KV page pool too small to admit any prompt; raise n_pages")
-                continue  # everything admitted finished instantly -> re-admit / exit
-
-            # 2) make sure every running slot has pages for the next chunk
-            run_ok = True
-            for slot_id in range(self.n_slots):
-                s = self._slots[slot_id]
-                if s.req is None or s.done:
-                    continue
-                target = min(s.seq_len + self.chunk + 1, self.max_context)
-                while not self._ensure_capacity(slot_id, target):
-                    if not self._preempt_youngest(queue):
-                        raise RuntimeError("KV page pool exhausted and nothing to preempt")
-                    if self._slots[slot_id].req is None:  # we preempted ourselves
-                        run_ok = False
-                        break
-                if not run_ok:
-                    break
-            if not run_ok:
-                continue
-
-            # 3) one compiled chunk for every active slot
-            pt_dev = jnp.asarray(self._page_table)
-            pc_dev = jnp.asarray(prompt_counts_h) if use_pen else jnp.zeros((1, 1), jnp.float32)
-            act_dev = jnp.asarray(active)
-            (self.pools, seq_lens, tok, done, budget, out_counts, key, clp, emitted) = chunk_fn(
-                self.params, self.pools, pt_dev, seq_lens, tok, act_dev, done, budget,
-                out_counts, pc_dev, prompt_lens, key,
+        def harvest(p: dict) -> None:
+            emitted_h, done_h, lens_h, clp_h = jax.device_get(
+                (p["emitted"], p["done"], p["seq_lens"], p["clp"])
             )
-
-            # ONE host sync for the whole chunk (each transfer is a tunnel round trip)
-            emitted_h, done_h, lens_h, clp_h = jax.device_get((emitted, done, seq_lens, clp))
-
-            # 4) harvest outputs, mark finished, free + refill next iteration
-            for slot_id in range(self.n_slots):
+            for slot_id, req_snapshot in p["in_chunk"]:
                 s = self._slots[slot_id]
-                if s.req is None or s.done:
+                if s.req is not req_snapshot or s.done:
                     continue
                 n_new = int(lens_h[slot_id]) - s.seq_len
                 s.seq_len = int(lens_h[slot_id])
@@ -396,4 +394,86 @@ class PagedDecodeEngine:
                     s.done = True
                     collect(slot_id)
 
+        while len(results) < n_total:
+            # 1) admit new prompts into free slots, then prefill them batched
+            admitted: list[tuple[int, int]] = []
+            for slot_id in range(self.n_slots):
+                if not queue:
+                    break
+                if self._slots[slot_id].req is None:
+                    claim = admit_slot(slot_id)
+                    if claim is None:
+                        break  # pool tight: stop admitting, let running slots finish
+                    admitted.append(claim)
+            if admitted:
+                prefill_admitted(admitted)
+
+            runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
+            if not runnable:
+                if pending is not None:
+                    harvest(pending)
+                    pending = None
+                    continue
+                if queue and not admitted:
+                    # nothing is running, every page is free, and a prompt still
+                    # does not fit: the pool is fundamentally undersized
+                    raise RuntimeError("KV page pool too small to admit any prompt; raise n_pages")
+                continue  # everything admitted finished instantly -> re-admit / exit
+
+            # 2) make sure every running slot has pages for the next chunk
+            # (in-flight slots may already be up to one chunk ahead of the
+            # host mirror, so provision two)
+            in_flight = {sid for sid, _ in pending["in_chunk"]} if pending else set()
+            run_ok = True
+            for slot_id in runnable:
+                s = self._slots[slot_id]
+                if s.req is None or s.done:
+                    continue  # may have been preempted while provisioning others
+                lookahead = self.chunk * (2 if slot_id in in_flight else 1)
+                target = min(s.seq_len + lookahead + 1, self.max_context)
+                while not self._ensure_capacity(slot_id, target):
+                    if pending is not None:
+                        # free what the in-flight chunk has finished before
+                        # resorting to preemption
+                        harvest(pending)
+                        pending = None
+                        in_flight = set()
+                        if self._slots[slot_id].req is None or self._slots[slot_id].done:
+                            break
+                        continue
+                    victim = self._preempt_youngest(queue)
+                    if victim is None:
+                        raise RuntimeError("KV page pool exhausted and nothing to preempt")
+                    active[victim] = False  # stop the decode mask advancing a freed slot
+                    if self._slots[slot_id].req is None:  # we preempted ourselves
+                        run_ok = False
+                        break
+                if not run_ok:
+                    break
+            if not run_ok:
+                continue
+
+            # 3) dispatch one compiled chunk for every active slot (async)
+            runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
+            if not runnable:
+                continue
+            pt_dev = jnp.asarray(self._page_table)
+            pc_dev = jnp.asarray(prompt_counts_h) if use_pen else jnp.zeros((1, 1), jnp.float32)
+            act_dev = jnp.asarray(active)
+            (self.pools, seq_lens, tok, done, budget, out_counts, key, clp, emitted) = chunk_fn(
+                self.params, self.pools, pt_dev, seq_lens, tok, act_dev, done, budget,
+                out_counts, pc_dev, prompt_lens, key,
+            )
+            new_pending = {
+                "emitted": emitted, "done": done, "seq_lens": seq_lens, "clp": clp,
+                "in_chunk": [(i, self._slots[i].req) for i in runnable],
+            }
+
+            # 4) harvest the PREVIOUS chunk while this one runs
+            if pending is not None:
+                harvest(pending)
+            pending = new_pending
+
+        # Any still-in-flight chunk holds only idle slots (done latched on
+        # device): every request is collected, nothing left to harvest.
         return [results[i] for i in range(n_total)]

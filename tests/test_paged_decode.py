@@ -156,3 +156,49 @@ def test_sampling_with_penalties_runs(setup):
     for out in outs:
         assert len(out["token_ids"]) == 6
         assert np.isfinite(out["cumulative_logprob"])
+
+
+def test_pallas_kernel_parity_interpret(setup):
+    """Fused paged_attention_pallas (interpret) == write_token_kv + gather path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ssi_tpu.generate.paged import init_pools, paged_attention, write_token_kv
+    from ssi_tpu.generate.paged_pallas import paged_attention_pallas
+
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    slots, ps, max_pages, n_pages = 4, 8, 4, 32
+    pools = init_pools(cfg, n_pages, ps, dtype=jnp.float32)
+    kp = jnp.asarray(rng.standard_normal(pools["k"].shape), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal(pools["v"].shape), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((slots, cfg.num_heads, cfg.head_dim)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((slots, cfg.num_kv_heads, cfg.head_dim)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((slots, cfg.num_kv_heads, cfg.head_dim)), jnp.float32)
+    # layer-1 physical rows: a permuted page table with ragged lengths
+    logical = rng.choice(n_pages, (slots, max_pages), replace=False).astype(np.int32)
+    phys = jnp.asarray(1 * n_pages + logical)
+    attn_lens = jnp.asarray([1, ps, 2 * ps - 3, 4 * ps], jnp.int32)  # incl. new token
+    active = jnp.asarray([True, True, True, False])
+    trash = kp.shape[0] - 1
+
+    pre = attn_lens - 1  # cache length before the incoming token
+    logical_ids = jnp.take_along_axis(jnp.asarray(logical), (pre // ps)[:, None], axis=1)[:, 0]
+    offsets = pre % ps
+    kp_ref = write_token_kv(kp, k_new, 1 * n_pages + logical_ids, offsets, active)
+    vp_ref = write_token_kv(vp, v_new, 1 * n_pages + logical_ids, offsets, active)
+    ref = paged_attention(q, kp_ref, vp_ref, phys, attn_lens)
+
+    write_rows = jnp.where(active, 1 * n_pages + logical_ids, trash)
+    with pltpu.force_tpu_interpret_mode():
+        got, kp_out, vp_out = paged_attention_pallas(
+            q, kp, vp, phys, attn_lens,
+            k_new=k_new, v_new=v_new, write_rows=write_rows, interpret=True,
+        )
+    # active rows of the attention output match (inactive slots are masked by
+    # the engine upstream; their trash-page write makes their attn garbage)
+    np.testing.assert_allclose(
+        np.asarray(got)[:3], np.asarray(ref)[:3], rtol=2e-5, atol=2e-5
+    )
+    # pool contents identical everywhere except the trash row
+    np.testing.assert_array_equal(np.asarray(kp_out)[:-1], np.asarray(kp_ref)[:-1])
+    np.testing.assert_array_equal(np.asarray(vp_out)[:-1], np.asarray(vp_ref)[:-1])
