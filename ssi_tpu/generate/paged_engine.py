@@ -468,6 +468,9 @@ class PagedDecodeEngine:
                 "emitted": emitted, "done": done, "seq_lens": seq_lens, "clp": clp,
                 "in_chunk": [(i, self._slots[i].req) for i in runnable],
             }
+            # (copy_to_host_async here was measured SLOWER through the axon
+            # tunnel — four extra per-chunk transfer requests beat the single
+            # batched device_get it was meant to hide)
 
             # 4) harvest the PREVIOUS chunk while this one runs
             if pending is not None:
