@@ -308,6 +308,10 @@ class PagedDecodeEngine:
             p_bucket = _round_up(p, self.prompt_bucket)
             slot = self._slots[slot_id]
             if not self._ensure_capacity(slot_id, p_bucket):
+                # release the partial allocation: a req=None slot is invisible
+                # to preemption/collect, so stranded pages would otherwise
+                # shrink the pool for the rest of the engine's lifetime
+                self._free_slot(slot)
                 return None
             queue.pop(0)
             slot.req = req

@@ -126,6 +126,9 @@ class safe_open:
             if tag not in _ST_TO_NP:
                 raise ValueError(f"unsupported dtype tag {tag} for tensor {name}")
             arr = np.frombuffer(buf, dtype=_ST_TO_NP[tag])
+        # the view aliases a PROT_READ mmap: an in-place write would SIGSEGV,
+        # so surface it as a normal numpy read-only error instead
+        arr.flags.writeable = False
         return arr.reshape(dims)
 
 

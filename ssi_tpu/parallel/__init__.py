@@ -104,6 +104,12 @@ def initialize_distributed(parallel_cfg: Any = None) -> bool:
 
     kwargs = {}
     if explicit:
+        if nproc is None or pid is None:
+            raise ValueError(
+                "parallel.coordinator_address is set but num_processes/process_id are not — "
+                "set parallel.num_processes and parallel.process_id (or the "
+                "JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars) alongside it."
+            )
         kwargs = {
             "coordinator_address": str(coord),
             "num_processes": int(nproc),

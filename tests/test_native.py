@@ -142,3 +142,14 @@ def test_checkpoint_backend_env_switch(monkeypatch):
     import safetensors.numpy
 
     assert up_open is safetensors.safe_open and up_save is safetensors.numpy.save_file
+
+
+def test_zero_copy_views_are_read_only(tmp_path):
+    """In-place writes must raise (the view aliases a PROT_READ mmap — a
+    writable flag would turn user mutation into a SIGSEGV)."""
+    path = tmp_path / "ro.safetensors"
+    stio.save_file({"x": np.arange(8, dtype=np.float32)}, str(path))
+    arr = stio.load_file(str(path))["x"]
+    assert not arr.flags.writeable
+    with pytest.raises(ValueError):
+        arr[0] = 1.0

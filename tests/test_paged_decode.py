@@ -202,3 +202,21 @@ def test_pallas_kernel_parity_interpret(setup):
     # pool contents identical everywhere except the trash row
     np.testing.assert_array_equal(np.asarray(kp_out)[:-1], np.asarray(kp_ref)[:-1])
     np.testing.assert_array_equal(np.asarray(vp_out)[:-1], np.asarray(vp_ref)[:-1])
+
+
+def test_failed_admission_releases_pages(setup):
+    """A prompt that cannot be admitted must not strand its partial page
+    allocation on a req=None slot (the pool would shrink permanently)."""
+    from ssi_tpu.generate.engine import SamplingParams
+
+    cfg, params = setup
+    # pool of 6 pages, page_size 8: a 4-page prompt + a 2-page prompt can
+    # never be resident together with a third request
+    eng = make_engine(params, cfg, n_slots=2, n_pages=6, max_context=48)
+    free_before = len(eng._free_pages)
+    sp = SamplingParams(temperature=0.0, max_tokens=2, stop_token_ids=())
+    prompts = [[1] * 30, [2] * 10, [3] * 14]  # 4 + 2 + 2 pages of prompt
+    outs = eng.generate_batch(prompts, sp)
+    assert len(outs) == 3 and all(len(o["token_ids"]) == 2 for o in outs)
+    # every page returned to the free list after the batch drains
+    assert len(eng._free_pages) == free_before

@@ -20,9 +20,6 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-import jax.numpy as jnp
-import numpy as np
-
 SEQ = 768
 WINDOW_TOKENS = 4 * 16 * SEQ  # 49,152 — the reference default (bs16 x accum4)
 
@@ -44,61 +41,18 @@ CONFIGS = {
 
 
 def run_one(name, batch, accum, remat, chunk, warmup=2, steps=6):
-    from ssi_tpu.models.configs import configllama3_2_1b
-    from ssi_tpu.models.llama3 import init_params
-    from ssi_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated, shard_params
-    from ssi_tpu.train.lr_schedule import cosine_schedule_with_warmup
-    from ssi_tpu.train.optimizer import AdamWConfig, init_opt_state
-    from ssi_tpu.train.step import make_train_step
+    """Thin wrapper over bench._measure (the single source of truth for the
+    model/mesh/opt/step setup and the axon-sync timing methodology)."""
+    import bench
 
     assert batch * accum * SEQ == WINDOW_TOKENS, (batch, accum)
-    cfg = configllama3_2_1b.copy()
-    cfg.n_dsus = 5000
-    cfg.modality_tokens = True
-
-    mesh = make_mesh(tp=1)
-    params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
-    params = shard_params(mesh, params)
-    opt_cfg = AdamWConfig(mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16)
-    opt_state = jax.jit(
-        lambda p: init_opt_state(p, opt_cfg),
-        out_shardings={
-            "mu": param_shardings(mesh, params),
-            "nu": param_shardings(mesh, params),
-            "count": replicated(mesh),
-        },
-    )(params)
-    state = {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
-
-    schedule = cosine_schedule_with_warmup(2e-4, 1000, 100_000)
-    step = make_train_step(
-        cfg, opt_cfg, schedule, clip_grad_norm=None, chunk_size=chunk,
-        remat=remat, grad_accum_dtype=jnp.bfloat16,
-    )
-
-    rng = np.random.default_rng(0)
-    tokens = rng.integers(0, cfg.vocab_size, (accum, batch, SEQ)).astype(np.int32)
-    labels = tokens.copy()
-    bsh = batch_sharding(mesh)
-    tokens_d = jax.device_put(tokens, bsh)
-    labels_d = jax.device_put(labels, bsh)
-
-    t_compile = time.perf_counter()
-    for _ in range(warmup):
-        state, metrics = step(state, tokens_d, labels_d)
-        float(metrics["loss_sum"])  # axon sync
-    compile_s = time.perf_counter() - t_compile
-    tokens_per_step = int(metrics["num_tokens"])
-
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, tokens_d, labels_d)
-        float(metrics["loss_sum"])
-    dt = time.perf_counter() - t0
-    tps = tokens_per_step * steps / dt
+    tps = bench._measure((batch, accum, SEQ, remat, chunk), steps=steps)
+    wall = time.perf_counter() - t0
     return {"name": name, "batch": batch, "accum": accum, "remat": remat, "chunk": chunk,
-            "tokens_per_sec": round(tps, 1), "step_ms": round(dt / steps * 1000, 1),
-            "warmup_s": round(compile_s, 1)}
+            "tokens_per_sec": round(tps, 1),
+            "step_ms": round(WINDOW_TOKENS / tps * 1000, 1),
+            "wall_s": round(wall, 1)}
 
 
 def main():
