@@ -103,6 +103,13 @@ class Llama3Tokenizer:
             to tiktoken — tests/test_native_bpe.py), "tiktoken", or "native"
             (fail if the native library is unavailable). ``SSI_TPU_NATIVE_BPE=0``
             forces tiktoken regardless.
+        pattern: split regex. Default :data:`CL100K_PATTERN_PUA` (every DSU
+            character is its own token — the reference contract). Pass
+            :data:`CL100K_PATTERN` for BPE-COMPRESSED DSU runs: without the
+            ``\\p{Co}`` isolation, adjacent DSU characters form one piece and
+            the trained multi-DSU merges (ssi_tpu/tokenizer/bpe_train.py) can
+            fire. Non-default patterns force the tiktoken backend (the C++
+            scanner implements the PUA pattern).
     """
 
     def __init__(
@@ -112,6 +119,7 @@ class Llama3Tokenizer:
         max_seq_len: int | None = None,
         prompt_template=None,
         backend: str = "auto",
+        pattern: str = CL100K_PATTERN_PUA,
     ):
         self.path = str(path)
         self.special_tokens = dict(special_tokens) if special_tokens is not None else dict(LLAMA3_SPECIAL_TOKENS)
@@ -120,9 +128,10 @@ class Llama3Tokenizer:
 
         mergeable_ranks = load_tiktoken_bpe(self.path)
         self._base_vocab_size = len(mergeable_ranks)
+        self.pattern = pattern
         self.tt_model = tiktoken.Encoding(
             name=Path(self.path).name,
-            pat_str=CL100K_PATTERN_PUA,
+            pat_str=pattern,
             mergeable_ranks=mergeable_ranks,
             special_tokens=self.special_tokens,
         )
@@ -131,6 +140,8 @@ class Llama3Tokenizer:
         self._native = None
         if backend not in ("auto", "tiktoken", "native"):
             raise ValueError(f"Unknown tokenizer backend: {backend}")
+        if pattern != CL100K_PATTERN_PUA:
+            backend = "tiktoken"  # the C++ scanner implements the PUA pattern only
         if backend != "tiktoken" and os.environ.get("SSI_TPU_NATIVE_BPE", "1") != "0":
             try:
                 from ssi_tpu.native.bpe import NativeEncoding

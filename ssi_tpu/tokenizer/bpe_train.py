@@ -141,3 +141,42 @@ def compression_ratio(corpus: Iterable[str], ranks: dict[bytes, int]) -> float:
         total_chars += len(line)
         total_tokens += len(enc.encode(line, allowed_special=set(), disallowed_special=()))
     return total_chars / max(1, total_tokens)
+
+
+def merge_into_tokenizer(
+    base_model: str | Path,
+    trained_ranks: dict[bytes, int],
+    output_path: str | Path,
+) -> int:
+    """Append trained DSU-compression merges to a base ``tokenizer.model``.
+
+    Tokens with rank >= 256 in ``trained_ranks`` (the learned merges, which by
+    BPE construction include every intermediate needed to assemble them) are
+    appended after the base vocabulary with consecutive ranks, mirroring the
+    PUA append of ``ssi_tpu.extend.extend_tiktoken`` but for *merged* DSU
+    sequences. The resulting file is the ``tokenizer.model`` of a compressed
+    run; load it with ``pattern=CL100K_PATTERN`` (see Llama3Tokenizer) so the
+    merges fire, and extend the model embedding by the RETURNED count
+    (pass it as ``n_dsus``).
+
+    Returns the number of appended tokens.
+    """
+    import base64 as b64
+
+    base_model = Path(base_model)
+    output_path = Path(output_path)
+    lines = base_model.read_text().splitlines()
+    existing = {b64.b64decode(line.split()[0]) for line in lines if line}
+    next_rank = 1 + max(int(line.split()[1]) for line in lines if line)
+
+    new_tokens = [tok for tok, r in sorted(trained_ranks.items(), key=lambda kv: kv[1]) if r >= 256]
+    appended = 0
+    with open(output_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        for tok in new_tokens:
+            if tok in existing:
+                continue  # byte alphabet / overlap with base vocab
+            f.write(b64.b64encode(tok).decode() + f" {next_rank}\n")
+            next_rank += 1
+            appended += 1
+    return appended

@@ -115,3 +115,45 @@ def test_cli_end_to_end(tmp_path):
     assert stats["n_rows"] == 40
     assert stats["compression_ratio_chars_per_token"] >= 1.0
     assert (out / "tokenizer.model").exists()
+
+
+def test_compressed_dsu_tokenizer_end_to_end(tmp_path):
+    """The compression axis, operationally: train merges -> append to a base
+    tokenizer -> load with the non-PUA pattern -> DSU streams encode shorter
+    than 1 token/DSU, round-trip exactly, and new ids sit in the appended
+    range (ready for embedding extension with n_dsus = appended count)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import helpers
+
+    from ssi_tpu.tokenizer import CL100K_PATTERN, setup_llama3_tokenizer
+    from ssi_tpu.tokenizer.bpe_train import merge_into_tokenizer
+
+    corpus = _dsu_corpus(n_rows=128, n_dsus=40, seed=7)
+    ranks = train_bpe(corpus, 300, split_pattern=None)
+
+    base = helpers.write_tiny_tokenizer(tmp_path / "base" / "tokenizer.model")
+    compressed = tmp_path / "compressed" / "tokenizer.model"
+    compressed.parent.mkdir()
+    n_appended = merge_into_tokenizer(base, ranks, compressed)
+    assert n_appended > 0
+
+    tok, _specials = setup_llama3_tokenizer(compressed, verbose=False)
+    assert tok.pattern != CL100K_PATTERN  # default load = PUA contract
+
+    from ssi_tpu.tokenizer import Llama3Tokenizer
+
+    comp = Llama3Tokenizer(compressed, special_tokens=tok.special_tokens, pattern=CL100K_PATTERN)
+    assert comp._native is None  # non-PUA pattern forces tiktoken
+
+    for line in corpus[:8]:
+        ids_pua = tok.encode(line, add_bos=False, add_eos=False)
+        ids_comp = comp.encode(line, add_bos=False, add_eos=False)
+        # PUA contract: exactly 1 token per DSU char (3 bytes each here);
+        # compressed: strictly fewer tokens, same decoded string
+        assert len(ids_pua) >= len(line)  # tiny base has no 3-byte DSU tokens
+        assert len(ids_comp) < len(line)
+        assert comp.decode(ids_comp, truncate_at_eos=False, skip_special_tokens=False) == line
+        # compressed ids stay below the dynamic specials (extension-compatible)
+        assert all(i < comp.base_vocab_size for i in ids_comp)
