@@ -79,6 +79,10 @@ class PagedDecodeEngine:
         prompt_bucket: prefill programs are compiled per multiple of this.
         chunk: decode steps per device dispatch.
         attn_impl: "gather" (XLA, anywhere), "pallas" (TPU), or "auto".
+        pipeline_depth: chunks kept in flight before the oldest is harvested
+            (1 = harvest immediately after each dispatch). Depth 2 keeps the
+            device busy through the per-harvest host round trip at the cost of
+            finished slots idling up to one extra chunk before refill.
     """
 
     def __init__(
@@ -94,6 +98,7 @@ class PagedDecodeEngine:
         prompt_bucket: int = 128,
         chunk: int = 16,
         attn_impl: str = "auto",
+        pipeline_depth: int = 2,
     ):
         self.params = params
         self.cfg = cfg
@@ -106,6 +111,7 @@ class PagedDecodeEngine:
         self.max_pages_per_seq = self.max_context // page_size
         self.prompt_bucket = prompt_bucket
         self.chunk = chunk
+        self.pipeline_depth = max(1, int(pipeline_depth))
         if attn_impl == "auto":
             # v5e, 1B, 32 slots x ~700-token contexts: the fused Pallas kernel
             # (in-kernel token write, aliased HBM pools, valid-pages-only DMA)
@@ -368,17 +374,27 @@ class PagedDecodeEngine:
             self._free_slot(slot)
             active[slot_id] = False
 
-        # One chunk is kept IN FLIGHT while the previous chunk's results are
-        # harvested: the device_get sync costs a full host<->device round trip
-        # (~100 ms through the axon dev tunnel, still material on real hosts),
-        # and pipelining hides it behind the next chunk's compute. Bookkeeping
-        # consequences: page capacity is provisioned two chunks ahead for
-        # in-flight slots, harvests identity-check the request (a slot freed
-        # and re-admitted between dispatch and harvest is skipped — its old
-        # request was fully collected when it went done), and a request that
-        # finishes mid-flight idles its slot for one extra chunk (done latches
-        # on device, so it stops advancing; it is collected next harvest).
-        pending: dict | None = None  # futures + per-slot dispatch snapshot
+        # Up to PIPELINE_DEPTH chunks are kept IN FLIGHT while older chunks'
+        # results are harvested: each harvest's device_get costs a full
+        # host<->device round trip (~100 ms through the axon dev tunnel, still
+        # material on real hosts), and queued chunks keep the device busy
+        # through it. Bookkeeping consequences: page capacity is provisioned
+        # (depth+1) chunks ahead for in-flight slots, harvests identity-check
+        # the request (a slot freed and re-admitted between dispatch and
+        # harvest is skipped — its old request was fully collected when it
+        # went done), and a request that finishes mid-flight idles its slot
+        # for up to `depth` extra chunks (done latches on device, so it stops
+        # advancing; it is collected when its chunk is harvested).
+        from collections import deque
+
+        pending: deque[dict] = deque()  # oldest-first: futures + dispatch snapshots
+
+        def harvest_oldest() -> None:
+            harvest(pending.popleft())
+
+        def drain_pending() -> None:
+            while pending:
+                harvest_oldest()
 
         def harvest(p: dict) -> None:
             emitted_h, done_h, lens_h, clp_h = jax.device_get(
@@ -414,9 +430,8 @@ class PagedDecodeEngine:
 
             runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
             if not runnable:
-                if pending is not None:
-                    harvest(pending)
-                    pending = None
+                if pending:
+                    harvest_oldest()
                     continue
                 if queue and not admitted:
                     # nothing is running, every page is free, and a prompt still
@@ -425,23 +440,25 @@ class PagedDecodeEngine:
                 continue  # everything admitted finished instantly -> re-admit / exit
 
             # 2) make sure every running slot has pages for the next chunk
-            # (in-flight slots may already be up to one chunk ahead of the
-            # host mirror, so provision two)
-            in_flight = {sid for sid, _ in pending["in_chunk"]} if pending else set()
+            # (in-flight slots may already be several chunks ahead of the
+            # host mirror, so provision depth+1)
+            chunks_ahead: dict[int, int] = {}
+            for p in pending:
+                for sid, _ in p["in_chunk"]:
+                    chunks_ahead[sid] = chunks_ahead.get(sid, 0) + 1
             run_ok = True
             for slot_id in runnable:
                 s = self._slots[slot_id]
                 if s.req is None or s.done:
                     continue  # may have been preempted while provisioning others
-                lookahead = self.chunk * (2 if slot_id in in_flight else 1)
+                lookahead = self.chunk * (1 + chunks_ahead.get(slot_id, 0))
                 target = min(s.seq_len + lookahead + 1, self.max_context)
                 while not self._ensure_capacity(slot_id, target):
-                    if pending is not None:
-                        # free what the in-flight chunk has finished before
+                    if pending:
+                        # free what in-flight chunks have finished before
                         # resorting to preemption
-                        harvest(pending)
-                        pending = None
-                        in_flight = set()
+                        drain_pending()
+                        chunks_ahead = {}
                         if self._slots[slot_id].req is None or self._slots[slot_id].done:
                             break
                         continue
@@ -468,18 +485,18 @@ class PagedDecodeEngine:
                 self.params, self.pools, pt_dev, seq_lens, tok, act_dev, done, budget,
                 out_counts, pc_dev, prompt_lens, key,
             )
-            new_pending = {
+            pending.append({
                 "emitted": emitted, "done": done, "seq_lens": seq_lens, "clp": clp,
                 "in_chunk": [(i, self._slots[i].req) for i in runnable],
-            }
+            })
             # (copy_to_host_async here was measured SLOWER through the axon
             # tunnel — four extra per-chunk transfer requests beat the single
             # batched device_get it was meant to hide)
 
-            # 4) harvest the PREVIOUS chunk while this one runs
-            if pending is not None:
-                harvest(pending)
-            pending = new_pending
+            # 4) harvest the oldest chunk once the pipeline is full — the
+            # remaining queued chunks keep the device busy through the get
+            if len(pending) >= self.pipeline_depth:
+                harvest_oldest()
 
         # Any still-in-flight chunk holds only idle slots (done latched on
         # device): every request is collected, nothing left to harvest.
