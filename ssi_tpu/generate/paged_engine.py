@@ -280,6 +280,14 @@ class PagedDecodeEngine:
                     f"Prompt {i} ({len(t)} tokens) + max_tokens ({sp.max_tokens}) exceeds "
                     f"max_context ({self.max_context})"
                 )
+            # reject unservable requests upfront: an admission/preemption cycle
+            # can never free more than the whole pool
+            need = self._pages_needed(max(_round_up(len(t), self.prompt_bucket), len(t) + sp.max_tokens))
+            if need > self.n_pages:
+                raise RuntimeError(
+                    f"KV page pool too small for prompt {i}: needs {need} pages "
+                    f"(prompt {len(t)} + max_tokens {sp.max_tokens}), pool has {self.n_pages}"
+                )
 
         queue = [_Request(idx=i, prompt=list(t)) for i, t in enumerate(prompts)]
         results: dict[int, dict[str, Any]] = {}
@@ -414,11 +422,13 @@ class PagedDecodeEngine:
                     s.done = True
                     collect(slot_id)
 
+        suspend_admission = False  # set on self-preemption; cleared on dispatch
+
         while len(results) < n_total:
             # 1) admit new prompts into free slots, then prefill them batched
             admitted: list[tuple[int, int]] = []
             for slot_id in range(self.n_slots):
-                if not queue:
+                if not queue or suspend_admission:
                     break
                 if self._slots[slot_id].req is None:
                     claim = admit_slot(slot_id)
@@ -432,6 +442,9 @@ class PagedDecodeEngine:
             if not runnable:
                 if pending:
                     harvest_oldest()
+                    continue
+                if suspend_admission:
+                    suspend_admission = False  # nothing else can progress; retry admission
                     continue
                 if queue and not admitted:
                     # nothing is running, every page is free, and a prompt still
@@ -452,7 +465,11 @@ class PagedDecodeEngine:
                 if s.req is None or s.done:
                     continue  # may have been preempted while provisioning others
                 lookahead = self.chunk * (1 + chunks_ahead.get(slot_id, 0))
-                target = min(s.seq_len + lookahead + 1, self.max_context)
+                cap = max(
+                    _round_up(len(s.req.prompt), self.prompt_bucket),
+                    len(s.req.prompt) + sp.max_tokens,
+                )
+                target = min(s.seq_len + lookahead + 1, self.max_context, cap)
                 while not self._ensure_capacity(slot_id, target):
                     if pending:
                         # free what in-flight chunks have finished before
@@ -467,6 +484,9 @@ class PagedDecodeEngine:
                         raise RuntimeError("KV page pool exhausted and nothing to preempt")
                     active[victim] = False  # stop the decode mask advancing a freed slot
                     if self._slots[slot_id].req is None:  # we preempted ourselves
+                        # let the surviving slots make progress before this
+                        # request is re-admitted, or the cycle never dispatches
+                        suspend_admission = True
                         run_ok = False
                         break
                 if not run_ok:
@@ -485,6 +505,7 @@ class PagedDecodeEngine:
                 self.params, self.pools, pt_dev, seq_lens, tok, act_dev, done, budget,
                 out_counts, pc_dev, prompt_lens, key,
             )
+            suspend_admission = False  # a chunk dispatched: progress is real
             pending.append({
                 "emitted": emitted, "done": done, "seq_lens": seq_lens, "clp": clp,
                 "in_chunk": [(i, self._slots[i].req) for i in runnable],
