@@ -220,3 +220,40 @@ def test_failed_admission_releases_pages(setup):
     assert len(outs) == 3 and all(len(o["token_ids"]) == 2 for o in outs)
     # every page returned to the free list after the batch drains
     assert len(eng._free_pages) == free_before
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_scheduler_fuzz_matches_dense(setup, seed):
+    """Property test over the scheduler: random ragged workloads, small/tight
+    pools (forcing refill and preemption), random stop sets — greedy outputs
+    must match the dense engine bitwise, every page must return to the free
+    list, and the run must terminate (the livelock class this guards against
+    was found by exactly such a workload)."""
+    from ssi_tpu.generate.engine import DecodeEngine, SamplingParams
+
+    cfg, params = setup
+    rng = np.random.default_rng(seed)
+    n_slots = int(rng.integers(1, 5))
+    max_tokens = int(rng.integers(2, 9))
+    n_prompts = int(rng.integers(3, 10))
+    prompts = [rng.integers(1, cfg.vocab_size - 1, int(n)).tolist() for n in rng.integers(4, 40, n_prompts)]
+    # pool between "snug" and "roomy": sometimes forces preemption/queueing
+    need = max(-(-(max(len(p) for p in prompts) + max_tokens) // 8), 2)
+    n_pages = int(rng.integers(need, need * n_slots + 2))
+    stops = tuple(int(t) for t in rng.choice(cfg.vocab_size, 8, replace=False)) if rng.random() < 0.5 else ()
+    sp = SamplingParams(temperature=0.0, max_tokens=max_tokens, stop_token_ids=stops)
+
+    eng = make_engine(
+        params, cfg, n_slots=n_slots, n_pages=n_pages,
+        max_context=max(len(p) for p in prompts) + max_tokens + 8,
+        chunk=int(rng.integers(2, 6)),
+    )
+    free_before = len(eng._free_pages)
+    got = eng.generate_batch(prompts, sp)
+    assert len(eng._free_pages) == free_before  # no page leaked
+
+    dense = DecodeEngine(params, cfg, pad_id=0)
+    want = dense.generate_batch(prompts, sp)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g["token_ids"] == w["token_ids"], (seed, i)
+        assert g["finish_reason"] == w["finish_reason"], (seed, i)
