@@ -457,8 +457,12 @@ class PagedDecodeEngine:
             # host mirror, so provision depth+1)
             chunks_ahead: dict[int, int] = {}
             for p in pending:
-                for sid, _ in p["in_chunk"]:
-                    chunks_ahead[sid] = chunks_ahead.get(sid, 0) + 1
+                for sid, req_snapshot in p["in_chunk"]:
+                    # a freed-and-re-admitted slot's pending entries belong to
+                    # the OLD request — they stopped advancing (done latched),
+                    # so they must not inflate the new request's lookahead
+                    if self._slots[sid].req is req_snapshot:
+                        chunks_ahead[sid] = chunks_ahead.get(sid, 0) + 1
             run_ok = True
             for slot_id in runnable:
                 s = self._slots[slot_id]

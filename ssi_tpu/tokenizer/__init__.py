@@ -141,6 +141,11 @@ class Llama3Tokenizer:
         if backend not in ("auto", "tiktoken", "native"):
             raise ValueError(f"Unknown tokenizer backend: {backend}")
         if pattern != CL100K_PATTERN_PUA:
+            if backend == "native":
+                raise ValueError(
+                    "backend='native' supports only the default CL100K_PATTERN_PUA "
+                    "pattern (the C++ scanner implements it directly)"
+                )
             backend = "tiktoken"  # the C++ scanner implements the PUA pattern only
         if backend != "tiktoken" and os.environ.get("SSI_TPU_NATIVE_BPE", "1") != "0":
             try:

@@ -165,6 +165,8 @@ def merge_into_tokenizer(
 
     base_model = Path(base_model)
     output_path = Path(output_path)
+    if output_path.exists():
+        raise FileExistsError(f"Extended tokenizer output already exists at: {output_path}")
     lines = base_model.read_text().splitlines()
     existing = {b64.b64decode(line.split()[0]) for line in lines if line}
     next_rank = 1 + max(int(line.split()[1]) for line in lines if line)

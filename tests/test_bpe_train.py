@@ -122,12 +122,8 @@ def test_compressed_dsu_tokenizer_end_to_end(tmp_path):
     tokenizer -> load with the non-PUA pattern -> DSU streams encode shorter
     than 1 token/DSU, round-trip exactly, and new ids sit in the appended
     range (ready for embedding extension with n_dsus = appended count)."""
-    import sys
-
-    sys.path.insert(0, "tests")
-    import helpers
-
     from ssi_tpu.tokenizer import CL100K_PATTERN, setup_llama3_tokenizer
+    from tests import helpers
     from ssi_tpu.tokenizer.bpe_train import merge_into_tokenizer
 
     corpus = _dsu_corpus(n_rows=128, n_dsus=40, seed=7)

@@ -40,18 +40,21 @@ CONFIGS = {
 }
 
 
-def run_one(name, batch, accum, remat, chunk, warmup=2, steps=6):
+def run_one(name, batch, accum, remat, chunk, steps=6):
     """Thin wrapper over bench._measure (the single source of truth for the
-    model/mesh/opt/step setup and the axon-sync timing methodology)."""
+    model/mesh/opt/step setup, warmup count, and axon-sync timing)."""
+    import jax
+
     import bench
 
     assert batch * accum * SEQ == WINDOW_TOKENS, (batch, accum)
     t0 = time.perf_counter()
-    tps = bench._measure((batch, accum, SEQ, remat, chunk), steps=steps)
+    tps_chip = bench._measure((batch, accum, SEQ, remat, chunk), steps=steps)  # tokens/s/CHIP
     wall = time.perf_counter() - t0
+    n_chips = jax.device_count()
     return {"name": name, "batch": batch, "accum": accum, "remat": remat, "chunk": chunk,
-            "tokens_per_sec": round(tps, 1),
-            "step_ms": round(WINDOW_TOKENS / tps * 1000, 1),
+            "tokens_per_sec_per_chip": round(tps_chip, 1),
+            "step_ms": round(WINDOW_TOKENS / (tps_chip * n_chips) * 1000, 1),
             "wall_s": round(wall, 1)}
 
 
