@@ -303,13 +303,24 @@ def setup_llama3_tokenizer(
     max_seq_len: int | None = None,
     prompt_template=None,
     verbose: bool = True,
+    pattern: str | None = None,
 ) -> tuple[Llama3Tokenizer, dict[str, int]]:
     """Load a (possibly DSU-extended) tokenizer.model with dynamic special tokens.
 
     The 256 Llama-3 special tokens are assigned to the contiguous range starting at
     the *current* base vocab size, so they sit above any appended DSU tokens
     (ref: ssi/tokenizer/__init__.py:18-45).
+
+    ``pattern``: ``None`` = the PUA contract pattern; the string ``"cl100k"``
+    (or a raw regex) selects the non-PUA-splitting pattern for BPE-compressed
+    DSU runs (config key ``tokenizer.pattern: cl100k``).
     """
+    if pattern is None:
+        pattern = CL100K_PATTERN_PUA
+    elif pattern == "cl100k":
+        pattern = CL100K_PATTERN
+    elif pattern == "cl100k_pua":
+        pattern = CL100K_PATTERN_PUA
     path = Path(path)
     with open(path, "rb") as f:
         expected_hash = hashlib.sha256(f.read()).hexdigest()
@@ -327,6 +338,7 @@ def setup_llama3_tokenizer(
         special_tokens=special_tokens_dynamic,
         max_seq_len=max_seq_len,
         prompt_template=prompt_template,
+        pattern=pattern,
     )
     if verbose:
         LOGGER.info(f"Loaded Llama 3 tiktoken tokenizer from: {path}")

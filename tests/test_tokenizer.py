@@ -130,3 +130,22 @@ def test_decode_truncates_at_eos_index_zero(tiny_extended_tokenizer_path):
     assert out == ""
     # and EOS mid-sequence still truncates there
     assert tokenizer.decode([65, tokenizer.eos_id, 66], truncate_at_eos=True) == "A"
+
+
+def test_setup_pattern_knob(tmp_path):
+    """tokenizer.pattern config key: 'cl100k' loads the non-PUA-splitting
+    pattern (compressed-DSU runs); default stays the PUA contract."""
+    from tests import helpers
+
+    from ssi_tpu.tokenizer import CL100K_PATTERN, CL100K_PATTERN_PUA, setup_llama3_tokenizer
+
+    path = helpers.write_tiny_tokenizer(tmp_path / "tokenizer.model")
+    tok_default, _ = setup_llama3_tokenizer(path, verbose=False)
+    assert tok_default.pattern == CL100K_PATTERN_PUA
+    tok_comp, _ = setup_llama3_tokenizer(path, verbose=False, pattern="cl100k")
+    assert tok_comp.pattern == CL100K_PATTERN
+    # two adjacent DSU chars: one piece under cl100k, two under the PUA pattern
+    s = ""
+    assert len(tok_default.encode(s, add_bos=False, add_eos=False)) >= 2
+    assert tok_comp.decode(tok_comp.encode(s, add_bos=False, add_eos=False),
+                           truncate_at_eos=False, skip_special_tokens=False) == s
