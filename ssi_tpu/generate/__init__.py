@@ -132,6 +132,7 @@ def run_generation(cfg: Any) -> Path:
             params, model_cfg, pad_id=tokenizer.pad_id,
             n_slots=batch_size,
             max_context=max_prompt + sp.max_tokens,
+            quantize=cfg.get("quantize_weights"),
         )
     elif engine_kind == "dense":
         engine = DecodeEngine(params, model_cfg, pad_id=tokenizer.pad_id)

@@ -39,6 +39,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from ssi_tpu.generate.quant import matmul as _mm
 from ssi_tpu.models.configs import ConfigLlama3_2
 from ssi_tpu.models.llama3 import rms_norm
 from ssi_tpu.models.rope import apply_rope, rope_cos_sin
@@ -196,9 +197,9 @@ def decode_step_tokens(
         h, kp, vp, l = carry
         base = l * n_pages
         x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
-        q = (x @ layer["wq"]).reshape(n_slots, cfg.num_heads, hd)
-        k = (x @ layer["wk"]).reshape(n_slots, cfg.num_kv_heads, hd)
-        v = (x @ layer["wv"]).reshape(n_slots, cfg.num_kv_heads, hd)
+        q = _mm(x, layer["wq"]).reshape(n_slots, cfg.num_heads, hd)
+        k = _mm(x, layer["wk"]).reshape(n_slots, cfg.num_kv_heads, hd)
+        v = _mm(x, layer["wv"]).reshape(n_slots, cfg.num_kv_heads, hd)
         # RoPE on the single position (apply_rope expects [B, S, H, d])
         q = apply_rope(q[:, None], cos[:, :1], sin[:, :1])[:, 0]
         k = apply_rope(k[:, None], cos[:, :1], sin[:, :1])[:, 0]
@@ -217,9 +218,9 @@ def decode_step_tokens(
             kp = write_token_kv(kp, k, base + logical_ids, offsets, active)
             vp = write_token_kv(vp, v, base + logical_ids, offsets, active)
             attn = paged_attention(q, kp, vp, phys_table, attn_lens)
-        h = h + attn.reshape(n_slots, cfg.num_heads * hd).astype(h.dtype) @ layer["wo"]
+        h = h + _mm(attn.reshape(n_slots, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
         x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
-        h = h + (jax.nn.silu(x @ layer["w_gate"]) * (x @ layer["w_up"])) @ layer["w_down"]
+        h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])
         return (h, kp, vp, l + 1), None
 
     (h, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
@@ -267,15 +268,15 @@ def prefill_prompts(
     def body(carry, layer):
         h, kp, vp, l = carry
         x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
-        q = (x @ layer["wq"]).reshape(b, p, cfg.num_heads, hd)
-        k = (x @ layer["wk"]).reshape(b, p, cfg.num_kv_heads, hd)
-        v = (x @ layer["wv"]).reshape(b, p, cfg.num_kv_heads, hd)
+        q = _mm(x, layer["wq"]).reshape(b, p, cfg.num_heads, hd)
+        k = _mm(x, layer["wk"]).reshape(b, p, cfg.num_kv_heads, hd)
+        v = _mm(x, layer["wv"]).reshape(b, p, cfg.num_kv_heads, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = prefill_attention(q, k, v)
-        h = h + attn.reshape(b, p, cfg.num_heads * hd).astype(h.dtype) @ layer["wo"]
+        h = h + _mm(attn.reshape(b, p, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
         x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
-        h = h + (jax.nn.silu(x @ layer["w_gate"]) * (x @ layer["w_up"])) @ layer["w_down"]
+        h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])
         # write pages: [B, P] -> [B*P//ps, ps, Hkv, hd] at physical rows
         phys = jnp.where(page_ids >= n_pages, trash, l * n_pages + page_ids).reshape(-1)
         kp = kp.at[phys].set(k.astype(kp.dtype).reshape(b * p // ps, ps, cfg.num_kv_heads * hd))

@@ -83,6 +83,8 @@ class PagedDecodeEngine:
             (1 = harvest immediately after each dispatch). Depth 2 keeps the
             device busy through the per-harvest host round trip at the cost of
             finished slots idling up to one extra chunk before refill.
+        quantize: None (bf16 weights) or "int8" (weight-only per-channel int8
+            for the layer stack — faster decode, not bitwise vs bf16).
     """
 
     def __init__(
@@ -99,7 +101,17 @@ class PagedDecodeEngine:
         chunk: int = 16,
         attn_impl: str = "auto",
         pipeline_depth: int = 2,
+        quantize: str | None = None,
     ):
+        if quantize == "int8":
+            # weight-only int8 for the layer stack: halves the dominant HBM
+            # traffic of the (weights-bound) decode step; greedy outputs are
+            # NOT bitwise vs bf16 (see generate/quant.py)
+            from ssi_tpu.generate.quant import quantize_layer_weights_int8
+
+            params = quantize_layer_weights_int8(params)
+        elif quantize is not None:
+            raise ValueError(f"Unknown quantize mode {quantize!r}; expected 'int8' or None")
         self.params = params
         self.cfg = cfg
         self.pad_id = pad_id

@@ -257,3 +257,34 @@ def test_scheduler_fuzz_matches_dense(setup, seed):
     for i, (g, w) in enumerate(zip(got, want)):
         assert g["token_ids"] == w["token_ids"], (seed, i)
         assert g["finish_reason"] == w["finish_reason"], (seed, i)
+
+
+def test_int8_weight_only_decode(setup):
+    """Weight-only int8: engine runs end-to-end, dequantized logits stay close
+    to bf16 (per-channel symmetric error bound), outputs share the schema."""
+    from ssi_tpu.generate.engine import SamplingParams
+    from ssi_tpu.generate.quant import matmul, quantize_layer_weights_int8
+
+    cfg, params = setup
+    qparams = quantize_layer_weights_int8(params)
+    # per-leaf dequant error: |w - q*scale| <= scale/2 per element
+    for name in ("wq", "w_down"):
+        w = np.asarray(params["layers"][name], np.float32)
+        leaf = qparams["layers"][name]
+        deq = np.asarray(leaf["q"], np.float32) * np.asarray(leaf["scale"], np.float32)
+        amax = np.abs(w).max(axis=-2, keepdims=True)
+        assert np.all(np.abs(w - deq) <= amax / 127.0 + 1e-6), name
+    # matmul dispatch: quantized result close to exact
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, params["layers"]["wq"].shape[1])), jnp.float32)
+    exact = x @ params["layers"]["wq"][0]
+    approx = matmul(x, jax.tree.map(lambda a: a[0], qparams["layers"]["wq"]))
+    np.testing.assert_allclose(np.asarray(approx), np.asarray(exact), atol=0.15, rtol=0.15)
+
+    eng = make_engine(params, cfg, quantize="int8")
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+    outs = eng.generate_batch([[1, 2, 3, 4, 5], [7, 8, 9]], sp)
+    assert all(len(o["token_ids"]) == 6 for o in outs)
+    assert all(0 <= t < cfg.vocab_size for o in outs for t in o["token_ids"])
+
+    with pytest.raises(ValueError, match="quantize"):
+        make_engine(params, cfg, quantize="fp8")
