@@ -7,6 +7,11 @@ JSON line with three numbers:
 
 - ``dense_b8``: the reference eval shape (batch 8, uniform ~256-token decode)
   on the fixed-batch dense-cache engine — round-1 comparable.
+NB the dev tunnel's host<->device round-trip latency fluctuates several-fold
+between windows; paged numbers (sync-per-chunk) swing ~2.0-3.3k tok/s across
+runs of the identical build while dense (one sync per batch) stays ~1.4k.
+Same-window comparisons (the ratio, and int8-vs-bf16) are the stable signal.
+
 - ``dense_b32_ragged`` / ``paged_b48_ragged``: 96 requests whose generation
   lengths vary (a 1%-of-vocab stop set over random weights gives ~geometric
   lengths, the shape of real ASR eval traffic). The dense engine convoys: each
@@ -71,7 +76,7 @@ def _ragged_workload(cfg):
     return prompts, stops
 
 
-def bench_ragged(cfg, params, kind, n_runs: int = 1):
+def bench_ragged(cfg, params, kind, n_runs: int = 1, quantize=None):
     from ssi_tpu.generate.engine import DecodeEngine, SamplingParams
     from ssi_tpu.generate.paged_engine import PagedDecodeEngine
 
@@ -82,6 +87,7 @@ def bench_ragged(cfg, params, kind, n_runs: int = 1):
         engine = PagedDecodeEngine(
             params, cfg, pad_id=133_006, n_slots=SLOTS,
             max_context=max(len(p) for p in prompts) + MAX_TOKENS,
+            quantize=quantize,
         )
         run = lambda: engine.generate_batch(prompts, sp)
     else:
@@ -114,6 +120,7 @@ def main() -> None:
     dense_b8 = bench_dense_b8(cfg, params)
     dense_rg, dense_total, dense_tok = bench_ragged(cfg, params, "dense")
     paged_rg, paged_total, paged_tok = bench_ragged(cfg, params, "paged", n_runs=3)
+    int8_rg, _, _ = bench_ragged(cfg, params, "paged", n_runs=3, quantize="int8")
     # bf16 argmax ties flip between programs on random weights; report the match
     # fraction (fp32-CPU bitwise parity is asserted in tests/test_paged_decode.py)
     match_frac = sum(a == b for a, b in zip(dense_tok, paged_tok)) / len(dense_tok)
@@ -129,6 +136,7 @@ def main() -> None:
                     "dense_b32_ragged": round(dense_rg, 1),
                     "paged_b48_ragged": round(paged_rg, 1),
                     "paged_vs_dense_ragged": round(paged_rg / dense_rg, 2),
+                    "paged_int8_b48_ragged": round(int8_rg, 1),
                     "ragged_tokens": paged_total,
                     "greedy_match_fraction_vs_dense": round(match_frac, 3),
                 },
