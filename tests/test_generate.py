@@ -175,3 +175,58 @@ def test_render_templates():
     import jinja2, pytest as _pytest
     with _pytest.raises(jinja2.exceptions.UndefinedError):
         render_template("basic")
+
+
+def test_run_generation_int8_config_path(tmp_path, synthetic_data):
+    """quantize_weights: int8 flows from the config into the paged engine and
+    the flow still produces schema-valid generations."""
+    import copy
+
+    from ssi_tpu.config import Config
+    from ssi_tpu.generate import run_generation
+
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    cfg = Config(
+        {
+            "config_name": "generate",
+            "model_config": "tiny_test",
+            "speech": {"n_dsus": helpers.TINY_N_DSUS, "use_modality_tokens": True, "deduplicate": True},
+            "dtype": "fp32",
+            "model": str(model_dir),
+            "experiments_root_dir": str(tmp_path),
+            "tokenizer": {"path": str(model_dir / "original" / "tokenizer.model"), "max_seq_len": None},
+            "gen": {
+                "output_dir": str(tmp_path / "gens_int8"),
+                "output_filename": "generations.jsonl",
+                "output_config_filename": "generation_config.yaml",
+                "use_cfg_hash_subdir": False,
+                "split": "test",
+            },
+            "batch_size": 2,
+            "engine": "paged",
+            "quantize_weights": "int8",
+            "tokenizer_decoding": {"truncate_at_eos": True, "skip_special_tokens": True},
+            "sampling_params": {
+                "stop_token_ids": None, "n": 1, "temperature": 0.0,
+                "top_p": 1, "max_tokens": 4, "top_k": -1,
+            },
+            "observability": False,
+            "data": {
+                "n_dsus": helpers.TINY_N_DSUS,
+                "test": {
+                    "dataset": {
+                        "source": "synthetic/sft", "inference": True, "deduplicate": True,
+                        "filter_fn": None, "train_on_input": True,
+                        "column_map": {"input": "speech_tokens", "output": "transcript"},
+                        "new_system_prompt": "Transcribe. ", "use_modality_tokens": True,
+                        "n_samples": 3, "split": "test",
+                    },
+                },
+            },
+        }
+    )
+    out_dir = run_generation(cfg)
+    records = [json.loads(l) for l in (out_dir / "generations.jsonl").read_text().splitlines()]
+    assert len(records) == 3
+    # default stop set is active and the quantized tiny model may emit a stop
+    assert all(1 <= len(r["outputs"][0]["token_ids"]) <= 4 for r in records)
