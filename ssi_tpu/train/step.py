@@ -127,6 +127,16 @@ def make_train_step(
     The returned callable maps ``(state, tokens [A,B,S], labels [A,B,S])`` to
     ``(new_state, metrics)`` where A is the accumulation window.
     """
+    if attn_impl == "auto" and jax.devices()[0].platform == "tpu":
+        # TRAINING resolves auto -> pallas flash attention regardless of S:
+        # the fwd-only auto threshold (ops/attention.py, S>=4096) is where
+        # flash beats the XLA fusion forward, but with the BACKWARD included
+        # flash wins already at S=768 — the XLA bwd stages materialized f32
+        # [B,H,S,S] score tensors (~20% of step time profiled); the custom-VJP
+        # kernel never does. Measured same-window: 14,973 vs 13,190
+        # tok/s/chip at the headline CPT shape. Eval/decode (fwd-only) keep
+        # the fwd threshold; CPU keeps XLA (hermetic bitwise tests).
+        attn_impl = "pallas"
     loss_fn = make_loss_fn(model_cfg, attn_impl=attn_impl, remat=remat, chunk_size=chunk_size)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
