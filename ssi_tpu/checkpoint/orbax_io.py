@@ -46,6 +46,24 @@ def save_opt_state(opt_state: Any, output_dir: Path, step: int) -> dict[str, str
 
     rel = f"{_DIR_PREFIX}{step}"
     path = (Path(output_dir) / rel).resolve()
+    # A crash between this save and the msgpack commit leaves a stale dir for
+    # the same step; the msgpack referencing it was never written, so the dir
+    # is dead weight — remove it rather than letting Orbax's exists-check kill
+    # every re-save at this step after resume. StandardCheckpointer.save is
+    # collective but the filesystem write of a given shard happens on exactly
+    # one process, so the rank-0-coordinated overwrite below is safe: Orbax's
+    # save barrier means no process can be mid-read of the old dir.
+    if jax.process_index() == 0 and path.exists():
+        import shutil
+
+        LOGGER.warning("Removing stale uncommitted optimizer dir %s", path)
+        shutil.rmtree(path, ignore_errors=True)
+    if jax.process_count() > 1:
+        # Orbax's own exists-check runs on every process: barrier so none of
+        # them race ahead of rank 0's removal.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"orbax_stale_rm_{step}")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, opt_state)  # waits on exit of the context
     return {ORBAX_DIR_KEY: rel}

@@ -117,6 +117,11 @@ class PagedDecodeEngine:
         self.pad_id = pad_id
         self.n_slots = n_slots
         self.page_size = page_size
+        if page_size % 8 != 0 or page_size <= 0:
+            # the fused Pallas kernel's token write is an 8-row aligned RMW
+            # window (paged_pallas.WRITE_WIN); also required by the gather path's
+            # bucket arithmetic to keep pages lane-aligned
+            raise ValueError(f"page_size ({page_size}) must be a positive multiple of 8")
         if prompt_bucket % page_size != 0:
             raise ValueError(f"prompt_bucket ({prompt_bucket}) must be a multiple of page_size ({page_size})")
         self.max_context = _round_up(_round_up(max_context, page_size), prompt_bucket)
@@ -436,105 +441,118 @@ class PagedDecodeEngine:
 
         suspend_admission = False  # set on self-preemption; cleared on dispatch
 
-        while len(results) < n_total:
-            # 1) admit new prompts into free slots, then prefill them batched
-            admitted: list[tuple[int, int]] = []
-            for slot_id in range(self.n_slots):
-                if not queue or suspend_admission:
-                    break
-                if self._slots[slot_id].req is None:
-                    claim = admit_slot(slot_id)
-                    if claim is None:
-                        break  # pool tight: stop admitting, let running slots finish
-                    admitted.append(claim)
-            if admitted:
-                prefill_admitted(admitted)
+        try:
+            while len(results) < n_total:
+                # 1) admit new prompts into free slots, then prefill them batched
+                admitted: list[tuple[int, int]] = []
+                for slot_id in range(self.n_slots):
+                    if not queue or suspend_admission:
+                        break
+                    if self._slots[slot_id].req is None:
+                        claim = admit_slot(slot_id)
+                        if claim is None:
+                            break  # pool tight: stop admitting, let running slots finish
+                        admitted.append(claim)
+                if admitted:
+                    prefill_admitted(admitted)
 
-            runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
-            if not runnable:
-                if pending:
-                    harvest_oldest()
-                    continue
-                if suspend_admission:
-                    suspend_admission = False  # nothing else can progress; retry admission
-                    continue
-                if queue and not admitted:
-                    # nothing is running, every page is free, and a prompt still
-                    # does not fit: the pool is fundamentally undersized
-                    raise RuntimeError("KV page pool too small to admit any prompt; raise n_pages")
-                continue  # everything admitted finished instantly -> re-admit / exit
-
-            # 2) make sure every running slot has pages for the next chunk
-            # (in-flight slots may already be several chunks ahead of the
-            # host mirror, so provision depth+1)
-            chunks_ahead: dict[int, int] = {}
-            for p in pending:
-                for sid, req_snapshot in p["in_chunk"]:
-                    # a freed-and-re-admitted slot's pending entries belong to
-                    # the OLD request — they stopped advancing (done latched),
-                    # so they must not inflate the new request's lookahead
-                    if self._slots[sid].req is req_snapshot:
-                        chunks_ahead[sid] = chunks_ahead.get(sid, 0) + 1
-            run_ok = True
-            for slot_id in runnable:
-                s = self._slots[slot_id]
-                if s.req is None or s.done:
-                    continue  # may have been preempted while provisioning others
-                lookahead = self.chunk * (1 + chunks_ahead.get(slot_id, 0))
-                cap = max(
-                    _round_up(len(s.req.prompt), self.prompt_bucket),
-                    len(s.req.prompt) + sp.max_tokens,
-                )
-                target = min(s.seq_len + lookahead + 1, self.max_context, cap)
-                while not self._ensure_capacity(slot_id, target):
+                runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
+                if not runnable:
                     if pending:
-                        # free what in-flight chunks have finished before
-                        # resorting to preemption
-                        drain_pending()
-                        chunks_ahead = {}
-                        if self._slots[slot_id].req is None or self._slots[slot_id].done:
-                            break
+                        harvest_oldest()
                         continue
-                    victim = self._preempt_youngest(queue)
-                    if victim is None:
-                        raise RuntimeError("KV page pool exhausted and nothing to preempt")
-                    active[victim] = False  # stop the decode mask advancing a freed slot
-                    if self._slots[slot_id].req is None:  # we preempted ourselves
-                        # let the surviving slots make progress before this
-                        # request is re-admitted, or the cycle never dispatches
-                        suspend_admission = True
-                        run_ok = False
+                    if suspend_admission:
+                        suspend_admission = False  # nothing else can progress; retry admission
+                        continue
+                    if queue and not admitted:
+                        # nothing is running, every page is free, and a prompt still
+                        # does not fit: the pool is fundamentally undersized
+                        raise RuntimeError("KV page pool too small to admit any prompt; raise n_pages")
+                    continue  # everything admitted finished instantly -> re-admit / exit
+
+                # 2) make sure every running slot has pages for the next chunk
+                # (in-flight slots may already be several chunks ahead of the
+                # host mirror, so provision depth+1)
+                chunks_ahead: dict[int, int] = {}
+                for p in pending:
+                    for sid, req_snapshot in p["in_chunk"]:
+                        # a freed-and-re-admitted slot's pending entries belong to
+                        # the OLD request — they stopped advancing (done latched),
+                        # so they must not inflate the new request's lookahead
+                        if self._slots[sid].req is req_snapshot:
+                            chunks_ahead[sid] = chunks_ahead.get(sid, 0) + 1
+                run_ok = True
+                for slot_id in runnable:
+                    s = self._slots[slot_id]
+                    if s.req is None or s.done:
+                        continue  # may have been preempted while provisioning others
+                    lookahead = self.chunk * (1 + chunks_ahead.get(slot_id, 0))
+                    cap = max(
+                        _round_up(len(s.req.prompt), self.prompt_bucket),
+                        len(s.req.prompt) + sp.max_tokens,
+                    )
+                    target = min(s.seq_len + lookahead + 1, self.max_context, cap)
+                    while not self._ensure_capacity(slot_id, target):
+                        if pending:
+                            # free what in-flight chunks have finished before
+                            # resorting to preemption
+                            drain_pending()
+                            chunks_ahead = {}
+                            if self._slots[slot_id].req is None or self._slots[slot_id].done:
+                                break
+                            continue
+                        victim = self._preempt_youngest(queue)
+                        if victim is None:
+                            raise RuntimeError("KV page pool exhausted and nothing to preempt")
+                        active[victim] = False  # stop the decode mask advancing a freed slot
+                        if self._slots[slot_id].req is None:  # we preempted ourselves
+                            # let the surviving slots make progress before this
+                            # request is re-admitted, or the cycle never dispatches
+                            suspend_admission = True
+                            run_ok = False
+                            break
+                    if not run_ok:
                         break
                 if not run_ok:
-                    break
-            if not run_ok:
-                continue
+                    continue
 
-            # 3) dispatch one compiled chunk for every active slot (async)
-            runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
-            if not runnable:
-                continue
-            pt_dev = jnp.asarray(self._page_table)
-            pc_dev = jnp.asarray(prompt_counts_h) if use_pen else jnp.zeros((1, 1), jnp.float32)
-            act_dev = jnp.asarray(active)
-            (self.pools, seq_lens, tok, done, budget, out_counts, key, clp, emitted) = chunk_fn(
-                self.params, self.pools, pt_dev, seq_lens, tok, act_dev, done, budget,
-                out_counts, pc_dev, prompt_lens, key,
-            )
-            suspend_admission = False  # a chunk dispatched: progress is real
-            pending.append({
-                "emitted": emitted, "done": done, "seq_lens": seq_lens, "clp": clp,
-                "in_chunk": [(i, self._slots[i].req) for i in runnable],
-            })
-            # (copy_to_host_async here was measured SLOWER through the axon
-            # tunnel — four extra per-chunk transfer requests beat the single
-            # batched device_get it was meant to hide)
+                # 3) dispatch one compiled chunk for every active slot (async)
+                runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
+                if not runnable:
+                    continue
+                pt_dev = jnp.asarray(self._page_table)
+                pc_dev = jnp.asarray(prompt_counts_h) if use_pen else jnp.zeros((1, 1), jnp.float32)
+                act_dev = jnp.asarray(active)
+                (self.pools, seq_lens, tok, done, budget, out_counts, key, clp, emitted) = chunk_fn(
+                    self.params, self.pools, pt_dev, seq_lens, tok, act_dev, done, budget,
+                    out_counts, pc_dev, prompt_lens, key,
+                )
+                suspend_admission = False  # a chunk dispatched: progress is real
+                pending.append({
+                    "emitted": emitted, "done": done, "seq_lens": seq_lens, "clp": clp,
+                    "in_chunk": [(i, self._slots[i].req) for i in runnable],
+                })
+                # (copy_to_host_async here was measured SLOWER through the axon
+                # tunnel — four extra per-chunk transfer requests beat the single
+                # batched device_get it was meant to hide)
 
-            # 4) harvest the oldest chunk once the pipeline is full — the
-            # remaining queued chunks keep the device busy through the get
-            if len(pending) >= self.pipeline_depth:
-                harvest_oldest()
+                # 4) harvest the oldest chunk once the pipeline is full — the
+                # remaining queued chunks keep the device busy through the get
+                if len(pending) >= self.pipeline_depth:
+                    harvest_oldest()
 
-        # Any still-in-flight chunk holds only idle slots (done latched on
-        # device): every request is collected, nothing left to harvest.
-        return [results[i] for i in range(n_total)]
+            # Any still-in-flight chunk holds only idle slots (done latched on
+            # device): every request is collected, nothing left to harvest.
+            return [results[i] for i in range(n_total)]
+        except BaseException:
+            # Release every claimed slot/page so the engine survives a failed
+            # call (pool-exhausted RuntimeError, KeyboardInterrupt, ...) without
+            # a permanently shrunken free list. Nothing references the old page
+            # table after this: in-flight device chunks finish against the
+            # device-side copy they captured and their results are dropped.
+            for slot in self._slots:
+                if slot.req is not None:
+                    self._free_slot(slot)
+            active[:] = False
+            pending.clear()
+            raise

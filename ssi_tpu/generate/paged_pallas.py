@@ -245,6 +245,11 @@ def paged_attention_pallas(
     n_rows, ps, kvd = k_pool.shape
     hkv = kvd // hd
     n_rep = hq // hkv
+    if ps % WRITE_WIN != 0:
+        # The token write is an 8-row RMW window (Mosaic sublane alignment); a
+        # page smaller than / not divisible by the window would DMA past the
+        # page's sublane extent silently on the TPU path.
+        raise ValueError(f"page_size ({ps}) must be a multiple of {WRITE_WIN}")
 
     # Host/XLA-side constants + block-diagonal q (cheap einsum; integer mod work
     # is slow on the in-kernel VPU).

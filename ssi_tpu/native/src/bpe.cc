@@ -352,7 +352,11 @@ void* bpe_new(const char* path) {
       fclose(f);
       return nullptr;
     }
-    bpe->ranks.emplace(std::move(tok), static_cast<uint32_t>(rank));
+    if (!bpe->ranks.emplace(std::move(tok), static_cast<uint32_t>(rank)).second) {
+      g_bpe_error = "duplicate token in merges file: " + line.substr(0, 40);
+      fclose(f);
+      return nullptr;
+    }
     if (rank > max_rank) max_rank = rank;
   }
   fclose(f);
@@ -360,8 +364,24 @@ void* bpe_new(const char* path) {
     g_bpe_error = "empty merges file";
     return nullptr;
   }
+  // Strict structural validation: a silent gap or duplicate here would later
+  // surface as token id -1 from encode (RANK_MAX truncated) or "" from decode.
+  if (static_cast<size_t>(max_rank) + 1 != bpe->ranks.size()) {
+    g_bpe_error = "non-contiguous or duplicate ranks: max rank " + std::to_string(max_rank) +
+                  " but " + std::to_string(bpe->ranks.size()) + " entries";
+    return nullptr;
+  }
   bpe->tokens.resize(static_cast<size_t>(max_rank) + 1);
   for (const auto& [tok, rank] : bpe->ranks) bpe->tokens[rank] = tok;
+  // Every single byte must be encodable or encode_piece emits RANK_MAX -> -1.
+  for (int b = 0; b < 256; ++b) {
+    std::string key(1, static_cast<char>(b));
+    if (bpe->ranks.find(key) == bpe->ranks.end()) {
+      g_bpe_error = "incomplete byte alphabet: single byte " + std::to_string(b) +
+                    " has no token (not a byte-level BPE vocab?)";
+      return nullptr;
+    }
+  }
   return bpe.release();
 }
 

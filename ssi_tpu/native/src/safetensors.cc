@@ -184,6 +184,10 @@ void* st_open(const char* path) {
         return nullptr;
       }
       t.shape.push_back(dim->i);
+      if (dim->i > 0 && numel > INT64_MAX / itemsize / dim->i) {
+        set_error("tensor size overflows int64: " + key);
+        return nullptr;
+      }
       numel *= dim->i;
     }
     t.begin = (*off)->arr[0]->i;
@@ -194,6 +198,10 @@ void* st_open(const char* path) {
     }
     if (t.end - t.begin != numel * itemsize) {
       set_error("data_offsets size mismatch for tensor " + key);
+      return nullptr;
+    }
+    if (f->by_name.count(t.name)) {
+      set_error("duplicate tensor name in header: " + key);
       return nullptr;
     }
     f->by_name[t.name] = f->tensors.size();

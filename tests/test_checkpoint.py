@@ -195,3 +195,23 @@ def test_validation_catches_config_mismatch(tmp_path):
             output_dir=tmp_path / "out",
             model_expectations=bad.checkpoint_expectations,
         )
+
+
+def test_orbax_save_overwrites_stale_uncommitted_dir(tmp_path):
+    """A crash between the Orbax optimizer save and the msgpack commit leaves a
+    stale step dir; re-saving at the same step after resume must overwrite it
+    instead of failing forever (advisor finding, checkpoint/orbax_io.py)."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax.numpy as jnp
+
+    from ssi_tpu.checkpoint.orbax_io import _DIR_PREFIX, save_opt_state
+
+    opt_state = {"mu": {"w": jnp.arange(4, dtype=jnp.float32)}, "count": jnp.int32(3)}
+    marker = save_opt_state(opt_state, tmp_path, step=7)
+    assert (tmp_path / marker["__orbax_dir__"]).is_dir()
+
+    # simulate the crashed-then-resumed run reaching step 7 again with different values
+    opt_state2 = {"mu": {"w": jnp.arange(4, dtype=jnp.float32) * 2}, "count": jnp.int32(3)}
+    marker2 = save_opt_state(opt_state2, tmp_path, step=7)
+    assert marker2 == marker
+    assert len(list(tmp_path.glob(f"{_DIR_PREFIX}*"))) == 1

@@ -129,6 +129,23 @@ def test_corrupt_files_rejected(tmp_path):
     with pytest.raises(OSError):
         stio.safe_open(str(evil))
 
+    # duplicate tensor name: must be a clean parse error, not last-one-wins
+    dup = tmp_path / "dup.safetensors"
+    header = (
+        b'{"x":{"dtype":"F32","shape":[1],"data_offsets":[0,4]},'
+        b'"x":{"dtype":"F32","shape":[1],"data_offsets":[4,8]}}'
+    )
+    dup.write_bytes(struct.pack("<Q", len(header)) + header + b"\x00" * 8)
+    with pytest.raises(OSError, match="duplicate"):
+        stio.safe_open(str(dup))
+
+    # numel * itemsize overflowing int64 must be a clean parse error
+    huge = tmp_path / "huge.safetensors"
+    header = b'{"x":{"dtype":"F32","shape":[3037000500,3037000500],"data_offsets":[0,8]}}'
+    huge.write_bytes(struct.pack("<Q", len(header)) + header + b"\x00" * 8)
+    with pytest.raises(OSError, match="overflow"):
+        stio.safe_open(str(huge))
+
 
 def test_checkpoint_backend_env_switch(monkeypatch):
     from ssi_tpu.checkpoint import _safetensors_backend

@@ -139,6 +139,41 @@ def test_malformed_merges_file_rejected(tmp_path):
         native_bpe.NativeEncoding(str(empty))
 
 
+def _byte_alphabet_lines() -> list[str]:
+    return [base64.b64encode(bytes([b])).decode() + f" {b}" for b in range(256)]
+
+
+def test_structurally_invalid_vocabs_rejected(tmp_path):
+    """Load-time strictness: a rank gap, a duplicate token, or a missing byte
+    would otherwise surface later as silent id -1 from encode or "" from decode
+    (advisor finding, native/src/bpe.cc)."""
+    # rank gap: 0..255 bytes then rank 257 (256 missing)
+    gap = tmp_path / "gap.model"
+    gap.write_text("\n".join(_byte_alphabet_lines() + [base64.b64encode(b"ab").decode() + " 257"]) + "\n")
+    with pytest.raises(OSError, match="[Nn]on-contiguous"):
+        native_bpe.NativeEncoding(str(gap))
+
+    # duplicate token string
+    dup = tmp_path / "dup.model"
+    dup.write_text("\n".join(_byte_alphabet_lines() + [base64.b64encode(bytes([65])).decode() + " 256"]) + "\n")
+    with pytest.raises(OSError, match="duplicate token"):
+        native_bpe.NativeEncoding(str(dup))
+
+    # incomplete byte alphabet: contiguous ranks but byte 255 replaced by "ab"
+    inc = tmp_path / "inc.model"
+    lines = _byte_alphabet_lines()[:-1] + [base64.b64encode(b"ab").decode() + " 255"]
+    inc.write_text("\n".join(lines) + "\n")
+    with pytest.raises(OSError, match="incomplete byte alphabet"):
+        native_bpe.NativeEncoding(str(inc))
+
+    # the minimal valid vocab (exactly the byte alphabet) still loads
+    ok = tmp_path / "ok.model"
+    ok.write_text("\n".join(_byte_alphabet_lines()) + "\n")
+    enc = native_bpe.NativeEncoding(str(ok))
+    assert enc.n_vocab == 256
+    assert enc.decode(enc.encode("hi")) == "hi"
+
+
 def test_tokenizer_auto_backend_matches_tiktoken(tmp_path, monkeypatch):
     """Llama3Tokenizer(auto) and Llama3Tokenizer(tiktoken) agree end-to-end."""
     import sys

@@ -288,3 +288,39 @@ def test_int8_weight_only_decode(setup):
 
     with pytest.raises(ValueError, match="quantize"):
         make_engine(params, cfg, quantize="fp8")
+
+
+def test_bad_page_size_rejected(setup):
+    """page_size must be a multiple of the Pallas token-write RMW window (8);
+    smaller pages would DMA past the page's sublane extent silently on TPU."""
+    cfg, params = setup
+    with pytest.raises(ValueError, match="multiple of 8"):
+        make_engine(params, cfg, page_size=4, prompt_bucket=8)
+
+
+def test_exception_mid_run_releases_pool(setup):
+    """A failure after slots/pages are claimed must release them: the engine
+    must stay fully usable (same free list, same outputs) for the next call."""
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [6, 12, 4]]
+    sp = SamplingParams(temperature=0.0, max_tokens=5, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    expected = engine.generate_batch(prompts, sp)
+
+    orig = engine._chunk_fn
+
+    def failing_chunk_fn(sp_arg):
+        def boom(*a, **k):
+            raise RuntimeError("injected dispatch failure")
+        return boom
+
+    engine._chunk_fn = failing_chunk_fn
+    with pytest.raises(RuntimeError, match="injected"):
+        engine.generate_batch(prompts, sp)
+    assert len(engine._free_pages) == engine.n_pages
+    assert all(s.req is None for s in engine._slots)
+
+    engine._chunk_fn = orig
+    again = engine.generate_batch(prompts, sp)
+    assert [o["token_ids"] for o in again] == [o["token_ids"] for o in expected]
