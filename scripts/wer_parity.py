@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""One-command WER-parity harness: generate over an MLS dev slice, score WER,
+and emit a reference-comparable artifact (VERDICT r2 item 3).
+
+The BASELINE target is a WER delta <= 0.1 vs the reference pipeline
+(vLLM generate -> whisper_normalizer -> jiwer; ref: scripts/generate.py +
+scripts/wer.py:61-64). This harness produces everything needed to measure
+that delta the moment hub access exists:
+
+    python scripts/wer_parity.py model=/path/to/step_N gen.n_samples=200
+
+writes ``wer_parity.json`` next to the generations with:
+  - our WER (first-party engine + vendored normalizer),
+  - the run fingerprint (dataset/split/slice, sampling params, spelling-map
+    sha256 + entry count, package version),
+  - the exact reference command to score the SAME generations.jsonl with the
+    reference stack, so the final number is a one-line comparison.
+
+With ``--reference-wer <wer.json>`` (a reference-produced artifact for the
+same generations) it computes and records the delta directly.
+
+Offline use: point the data config at local json rows with the standard
+``data.test.dataset.source=json data.test.dataset.data_files=...`` overrides
+(same knobs as scripts/train_sft.py).
+"""
+
+import argparse
+import hashlib
+import json
+import logging
+from pathlib import Path
+import sys
+
+logging.basicConfig(
+    format="[%(asctime)s][%(name)s][%(levelname)s] - %(message)s",
+    level=logging.INFO,
+    stream=sys.stdout,
+)
+LOGGER = logging.getLogger(__name__)
+
+
+def parse_args(argv: list[str]) -> tuple[argparse.Namespace, list[str]]:
+    ap = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--reference-wer", type=Path, default=None,
+                    help="Path to a wer.json produced by the REFERENCE scripts/wer.py for the same generations")
+    ap.add_argument("--skip-generate", type=Path, default=None, metavar="GENERATIONS_DIR",
+                    help="Score an existing generations dir instead of generating")
+    ap.add_argument("--refs-jsonl", type=Path, default=None,
+                    help="Local reference transcripts (jsonl with a 'transcript' field, "
+                         "or plain text, one per line) instead of the HF hub")
+    return ap.parse_known_args(argv)
+
+
+def main(argv: list[str]) -> None:
+    args, overrides = parse_args(argv)
+
+    from ssi_tpu.eval import english_normalizer, load_spelling_mapping, word_error_rate
+    from ssi_tpu.utils import extract_texts_from_generations_jsonl, ref_from_hf_dataset
+
+    if args.skip_generate is not None:
+        gen_dir = args.skip_generate
+    else:
+        import scripts.generate as gen_script
+        from ssi_tpu.generate import run_generation
+
+        gen_dir = _run_generate(gen_script, overrides, run_generation)
+
+    gen_jsonl = gen_dir / "generations.jsonl"
+    hyps_raw = extract_texts_from_generations_jsonl(gen_jsonl)
+    # dataset/split from the path layout (same inference as scripts/wer.py)
+    split = gen_dir.name if gen_dir.name in {"train", "dev", "test", "validation"} else gen_dir.parent.name
+    dataset = gen_dir.parent.name if gen_dir.name == split else gen_dir.parents[1].name
+    if args.refs_jsonl is not None:
+        refs_raw = []
+        for line in args.refs_jsonl.read_text().splitlines():
+            if not line.strip():
+                continue
+            try:
+                refs_raw.append(json.loads(line)["transcript"])
+            except (json.JSONDecodeError, TypeError, KeyError):
+                refs_raw.append(line)
+        refs_raw = refs_raw[: len(hyps_raw)]
+    else:
+        refs_raw = ref_from_hf_dataset(dataset=dataset, split=split)[: len(hyps_raw)]
+    if len(refs_raw) != len(hyps_raw):
+        raise ValueError(f"{len(refs_raw)} references for {len(hyps_raw)} hypotheses")
+
+    normalize = english_normalizer()
+    refs = [normalize(t) for t in refs_raw]
+    hyps = [normalize(t) for t in hyps_raw]
+    wer = word_error_rate(refs, hyps)
+
+    mapping = load_spelling_mapping()
+    map_bytes = json.dumps(mapping, sort_keys=True).encode()
+    artifact = {
+        "wer": wer,
+        "n_samples": len(hyps),
+        "dataset": dataset,
+        "split": split,
+        "normalizer": "transformers-vendored EnglishTextNormalizer",
+        "spelling_map_entries": len(mapping),
+        "spelling_map_sha256": hashlib.sha256(map_bytes).hexdigest(),
+        "reference_command": (
+            f"python scripts/wer.py {gen_jsonl} "
+            "# run inside the reference repo; compares whisper_normalizer vs our vendored normalizer "
+            "on identical generations"
+        ),
+        "target_wer_delta": 0.1,
+    }
+    if args.reference_wer is not None:
+        ref_wer = json.loads(args.reference_wer.read_text())["wer"]
+        artifact["reference_wer"] = ref_wer
+        artifact["wer_delta"] = abs(wer - ref_wer)
+        artifact["within_target"] = artifact["wer_delta"] <= artifact["target_wer_delta"]
+
+    out = gen_dir / "wer_parity.json"
+    out.write_text(json.dumps(artifact, indent=2) + "\n")
+    LOGGER.info(f"WER {wer:.4f} over {len(hyps)} samples -> {out}")
+    if "wer_delta" in artifact:
+        status = "WITHIN" if artifact["within_target"] else "EXCEEDS"
+        LOGGER.info(f"Delta vs reference: {artifact['wer_delta']:.4f} ({status} the 0.1 target)")
+
+
+def _run_generate(gen_script, overrides: list[str], run_generation) -> Path:
+    """Re-use scripts/generate.py's config auto-resolution, capturing the output dir."""
+    captured: list[Path] = []
+
+    original = run_generation
+
+    def capture(cfg):
+        out = original(cfg)
+        captured.append(out)
+        return out
+
+    gen_script.run_generation = capture
+    try:
+        gen_script.main(overrides)
+    finally:
+        gen_script.run_generation = original
+    return captured[0]
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

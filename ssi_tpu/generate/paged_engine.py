@@ -213,7 +213,20 @@ class PagedDecodeEngine:
                 step, (pools, seq_lens, tok, done, budget, out_counts, key, clp0), None,
                 length=self.chunk,
             )
-            return pools, seq_lens, tok, done, budget, out_counts, key, clp, emitted.T  # [slots, chunk]
+            # Harvest view packed into ONE int32 array [slots, chunk+3]: the
+            # per-harvest device_get is a single transfer (4 separate fetches
+            # cost 4 round trips through the axon tunnel): columns are
+            # [emitted tokens | done flag | seq_len | clp bitcast to int32].
+            packed = jnp.concatenate(
+                [
+                    emitted.T,
+                    done.astype(jnp.int32)[:, None],
+                    seq_lens[:, None],
+                    jax.lax.bitcast_convert_type(clp, jnp.int32)[:, None],
+                ],
+                axis=1,
+            )
+            return pools, seq_lens, tok, done, budget, out_counts, key, packed
 
         fn = jax.jit(chunk, donate_argnums=(1,))
         self._chunk_fn_cache[cache_key] = fn
@@ -422,9 +435,12 @@ class PagedDecodeEngine:
                 harvest_oldest()
 
         def harvest(p: dict) -> None:
-            emitted_h, done_h, lens_h, clp_h = jax.device_get(
-                (p["emitted"], p["done"], p["seq_lens"], p["clp"])
-            )
+            packed = np.asarray(jax.device_get(p["packed"]))
+            chunk = packed.shape[1] - 3
+            emitted_h = packed[:, :chunk]
+            done_h = packed[:, chunk] != 0
+            lens_h = packed[:, chunk + 1]
+            clp_h = packed[:, chunk + 2].view(np.float32)
             for slot_id, req_snapshot in p["in_chunk"]:
                 s = self._slots[slot_id]
                 if s.req is not req_snapshot or s.done:
@@ -523,18 +539,19 @@ class PagedDecodeEngine:
                 pt_dev = jnp.asarray(self._page_table)
                 pc_dev = jnp.asarray(prompt_counts_h) if use_pen else jnp.zeros((1, 1), jnp.float32)
                 act_dev = jnp.asarray(active)
-                (self.pools, seq_lens, tok, done, budget, out_counts, key, clp, emitted) = chunk_fn(
+                (self.pools, seq_lens, tok, done, budget, out_counts, key, packed) = chunk_fn(
                     self.params, self.pools, pt_dev, seq_lens, tok, act_dev, done, budget,
                     out_counts, pc_dev, prompt_lens, key,
                 )
                 suspend_admission = False  # a chunk dispatched: progress is real
+                packed.copy_to_host_async()  # ONE transfer request now (the old
+                # 4-array layout made this a loss: four extra per-chunk requests
+                # through the tunnel beat the batched device_get they were
+                # meant to hide; a single packed array flips that trade)
                 pending.append({
-                    "emitted": emitted, "done": done, "seq_lens": seq_lens, "clp": clp,
+                    "packed": packed,
                     "in_chunk": [(i, self._slots[i].req) for i in runnable],
                 })
-                # (copy_to_host_async here was measured SLOWER through the axon
-                # tunnel — four extra per-chunk transfer requests beat the single
-                # batched device_get it was meant to hide)
 
                 # 4) harvest the oldest chunk once the pipeline is full — the
                 # remaining queued chunks keep the device busy through the get

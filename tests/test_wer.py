@@ -84,3 +84,134 @@ def test_spelling_mapping_vendored():
     # spelling can be disabled by passing an explicit empty mapping
     plain = english_normalizer({})
     assert plain("colour") == "colour"
+
+
+def test_normalizer_adversarial_goldens():
+    """Frozen outputs of the full normalizer on adversarial inputs — numbers,
+    currency, abbreviations, contractions, disfluencies (VERDICT r2 item 3).
+
+    Expected strings were generated from transformers' vendored
+    EnglishTextNormalizer, which is Whisper's implementation verbatim (the
+    reference consumes the same algorithm through the whisper_normalizer
+    package, ref: scripts/wer.py:61-64) — including its published quirks
+    ("O'Brien" -> "0 brien", "ten o'clock" -> "100 clock", bare "pounds" ->
+    currency): bug-for-bug equality is the parity contract, so a change in
+    any of these means WER drift vs the reference.
+    """
+    normalize = english_normalizer()
+    goldens = [
+        # numbers
+        ("one hundred and twenty three people", "123 people"),
+        ("the third of March, nineteen eighty-four", "the 3rd of march 1984"),
+        ("one million two hundred thirty four thousand five hundred sixty seven", "1234567"),
+        ("two thousand and one", "2001"),
+        ("1st 2nd 3rd 21st 102nd", "1st 2nd 3rd 21st 102nd"),
+        ("twenty-first century, the 1970s, and the '90s", "21st century the 1970s and the 90s"),
+        ("ninety-nine point nine percent", "99.9%"),
+        ("minus five degrees, plus three", "-5 degrees +3"),
+        ("seven eighths of an inch", "7 eighths of an inch"),
+        # currency
+        ("It costs five dollars and fifty cents.", "it costs $5.50"),
+        ("He paid £3.50 for two and a half kilos.", "he paid £3.50 for 2.5 kilos"),
+        ("three pounds of flour", "£3 of flour"),  # upstream quirk: mass noun coerced to currency
+        # abbreviations + possessives
+        ("Dr. Jones met Mrs. O'Brien at St. Mary's.", "doctor jones met missus 0 brien at saint mary is"),
+        ("number one and No. 2", "number one and no 2"),
+        # contractions
+        ("I can't, shouldn't, and won't do it; they're gonna leave.",
+         "i can not should not and will not do it they are going to leave"),
+        ("He's got 'em, ain't he?", "he has got em aint he"),
+        ("a half past ten o'clock", "a half past 100 clock"),  # upstream quirk
+        # hyphen splitting + disfluency removal
+        ("double-decker bus re-enactment co-operate", "double decker bus re enactment co operate"),
+        ("umm, uh, hmm, you know, like, actually", "umm you know like actually"),
+    ]
+    for raw, expected in goldens:
+        assert normalize(raw) == expected, raw
+
+
+def test_spelling_map_generator_in_sync():
+    """tools/gen_spelling_map.py --check: the committed JSON must be exactly
+    what the generator produces (reviewability of the 2k-entry asset)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(root / "tools" / "gen_spelling_map.py"), "--check"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_spelling_map_scale_and_classes():
+    """Coverage floor per VERDICT r2 item 3: >=1.6k entries, with every
+    morphological class represented."""
+    from ssi_tpu.eval import load_spelling_mapping
+
+    m = load_spelling_mapping()
+    assert len(m) >= 1600
+    for brit, amer in [
+        ("characterise", "characterize"), ("characterisation", "characterization"),
+        ("paralyse", "paralyze"), ("unfavourable", "unfavorable"),
+        ("amphitheatre", "amphitheater"), ("gynaecologist", "gynecologist"),
+        ("counsellor", "counselor"), ("fulfilment", "fulfillment"),
+        ("defenceless", "defenseless"), ("catalogued", "cataloged"),
+        ("manoeuvring", "maneuvering"), ("tranquillity", "tranquility"),
+        ("draughtsmanship", "draftsmanship"),
+    ]:
+        assert m.get(brit) == amer, (brit, m.get(brit))
+    # words identical in both dialects must NOT be present
+    for both in ["advertise", "disenfranchise", "surprise", "compromise", "televise"]:
+        assert both not in m, both
+
+
+def test_wer_parity_harness(tmp_path):
+    """scripts/wer_parity.py end-to-end offline: scores an existing generations
+    dir against local refs and emits the reference-comparable artifact."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    gen_dir = tmp_path / "mls-hubert" / "dev"
+    gen_dir.mkdir(parents=True)
+    rows = [
+        {"prompt": "p", "outputs": [{"text": "the colour of the theatre was analysed"}]},
+        {"prompt": "p", "outputs": [{"text": "he travelled to the centre"}]},
+    ]
+    with open(gen_dir / "generations.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    refs = tmp_path / "refs.jsonl"
+    with open(refs, "w") as f:
+        f.write(json.dumps({"transcript": "The color of the theater was analyzed."}) + "\n")
+        f.write(json.dumps({"transcript": "he traveled to the center"}) + "\n")
+
+    proc = subprocess.run(
+        [sys.executable, str(root / "scripts" / "wer_parity.py"),
+         "--skip-generate", str(gen_dir), "--refs-jsonl", str(refs)],
+        capture_output=True, text=True, env={"PYTHONPATH": str(root), "PATH": "/usr/bin:/bin"},
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    art = json.loads((gen_dir / "wer_parity.json").read_text())
+    assert art["wer"] == 0.0  # identical after normalization
+    assert art["spelling_map_entries"] >= 1600
+    assert art["dataset"] == "mls-hubert" and art["split"] == "dev"
+
+    # delta mode against a (synthetic) reference wer.json
+    ref_wer = tmp_path / "wer.json"
+    ref_wer.write_text(json.dumps({"wer": 0.05}))
+    (gen_dir / "wer_parity.json").unlink()
+    proc = subprocess.run(
+        [sys.executable, str(root / "scripts" / "wer_parity.py"),
+         "--skip-generate", str(gen_dir), "--refs-jsonl", str(refs),
+         "--reference-wer", str(ref_wer)],
+        capture_output=True, text=True, env={"PYTHONPATH": str(root), "PATH": "/usr/bin:/bin"},
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    art = json.loads((gen_dir / "wer_parity.json").read_text())
+    assert art["wer_delta"] == pytest.approx(0.05)
+    assert art["within_target"] is True
