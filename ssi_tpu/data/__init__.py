@@ -253,19 +253,36 @@ def _build_loader(
     num_replicas: int,
     rank: int,
 ) -> tuple[Loader, Sampler]:
+    sampler_shuffle = bool(cfg_dataset["shuffle"])
     if cfg_dataset.get("packed", False):
         # TPU-first extension: the reference declares but never implements packing
         # (ref: ssi/data/__init__.py:69,106). Packs are fixed-shape by construction.
-        from ssi_tpu.data.packing import PackedDataset, padded_collate_packed
+        from ssi_tpu.data.packing import PackedDataset, WindowedPackedDataset, padded_collate_packed
 
         if model_tokenizer.max_seq_len is None:
             raise ValueError("PackedDataset requires a max_seq_len to be set on the tokenizer.")
-        dataset = PackedDataset(
-            dataset,
-            max_seq_len=int(model_tokenizer.max_seq_len),
-            pad_id=model_tokenizer.pad_id,
-            split_across_pack=bool(cfg_dataset.get("split_across_pack", False)),
-        )
+        pack_window = cfg_dataset.get("pack_window")
+        if pack_window:
+            # Streaming-scale path: O(window) memory; the shuffle moves INTO the
+            # dataset (hierarchical window/pack permutation) so index access
+            # stays window-local — the sampler must iterate sequentially.
+            dataset = WindowedPackedDataset(
+                dataset,
+                max_seq_len=int(model_tokenizer.max_seq_len),
+                pad_id=model_tokenizer.pad_id,
+                window=int(pack_window),
+                split_across_pack=bool(cfg_dataset.get("split_across_pack", False)),
+                shuffle=sampler_shuffle,
+                seed=SEED,
+            )
+            sampler_shuffle = False
+        else:
+            dataset = PackedDataset(
+                dataset,
+                max_seq_len=int(model_tokenizer.max_seq_len),
+                pad_id=model_tokenizer.pad_id,
+                split_across_pack=bool(cfg_dataset.get("split_across_pack", False)),
+            )
         collate_fn = padded_collate_packed
     else:
         collate_fn = _collate_for(cfg_dataset, model_tokenizer)
@@ -273,7 +290,7 @@ def _build_loader(
         dataset_len=len(dataset),
         num_replicas=num_replicas,
         rank=rank,
-        shuffle=bool(cfg_dataset["shuffle"]),
+        shuffle=sampler_shuffle,
         seed=SEED,
     )
     loader = Loader(

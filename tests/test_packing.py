@@ -149,3 +149,85 @@ def test_packed_trainer_end_to_end(tmp_path, synthetic_data):
     t.cleanup()
     assert len(losses) == 3 and all(np.isfinite(x) for x in losses)
     assert np.isfinite(dev)
+
+
+# ---------------------------------------------------------------------------
+# WindowedPackedDataset (streaming-scale packing, VERDICT r2 item 4)
+# ---------------------------------------------------------------------------
+
+def test_windowed_matches_eager_when_window_covers_dataset():
+    from ssi_tpu.data.packing import WindowedPackedDataset
+
+    rows = make_rows([5, 7, 4, 10, 3, 6, 2, 8])
+    eager = PackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD)
+    windowed = WindowedPackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD, window=100)
+    assert len(windowed) == len(eager)
+    for i in range(len(eager)):
+        for k in ("tokens", "labels", "segment_ids", "positions"):
+            np.testing.assert_array_equal(windowed[i][k], eager[i][k])
+
+
+def test_windowed_o_window_memory_and_locality():
+    from ssi_tpu.data.packing import WindowedPackedDataset
+
+    rows = make_rows([4] * 64)
+    ds = WindowedPackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD, window=8)
+    # 8 windows x (8 samples of 4 -> 2 packs of 16)
+    assert ds.n_windows == 8 and ds.packs_per_window == 2 and len(ds) == 16
+    for i in range(len(ds)):
+        pack = ds[i]
+        assert int((pack["segment_ids"] > 0).sum()) == 16
+    assert len(ds._cache) <= ds._CACHE_WINDOWS  # never holds the whole epoch
+
+
+def test_windowed_deterministic_and_epoch_sensitive_shuffle():
+    from ssi_tpu.data.packing import WindowedPackedDataset
+
+    rows = make_rows([4] * 64)
+    a = WindowedPackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD, window=8, shuffle=True, seed=7)
+    b = WindowedPackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD, window=8, shuffle=True, seed=7)
+    flat_a = [a[i]["tokens"].tolist() for i in range(len(a))]
+    flat_b = [b[i]["tokens"].tolist() for i in range(len(b))]
+    assert flat_a == flat_b  # deterministic across instances
+
+    # shuffled order is a bijection over the eager pack set
+    plain = WindowedPackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD, window=8)
+    ordered = sorted([plain[i]["tokens"].tolist() for i in range(len(plain))])
+    assert sorted(flat_a) == ordered
+
+    a.set_epoch(1)
+    flat_a1 = [a[i]["tokens"].tolist() for i in range(len(a))]
+    assert flat_a1 != flat_a  # epoch reshuffles
+    assert sorted(flat_a1) == ordered  # ... but the same multiset
+
+
+def test_windowed_clamps_ragged_windows():
+    from ssi_tpu.data.packing import WindowedPackedDataset
+
+    # windows pack to differing counts; all clamp/cycle to the calibration count
+    rows = make_rows([10, 10, 3, 3, 3, 3, 14, 2])
+    ds = WindowedPackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD, window=4)
+    assert len(ds) == ds.n_windows * ds.packs_per_window
+    for i in range(len(ds)):
+        assert int((ds[i]["segment_ids"] > 0).sum()) > 0
+
+
+def test_windowed_packed_trainer_end_to_end(tmp_path, synthetic_data):
+    from ssi_tpu.train import Trainer
+
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    cfg_dict = helpers.base_train_cfg_dict(model_dir, tmp_path / "ckpts", kind="cpt")
+    cfg_dict["data"]["train"]["packed"] = True
+    cfg_dict["data"]["train"]["pack_window"] = 8
+    cfg_dict["data"]["dev"]["packed"] = True
+    cfg_dict["data"]["dev"]["pack_window"] = 8
+    cfg_dict["max_steps"] = 3
+    t = Trainer(helpers.make_cfg(cfg_dict))
+    t.setup()
+    losses = []
+    t._loss_log = losses
+    t.train()
+    dev = t._evaluate()
+    t.cleanup()
+    assert len(losses) == 3 and all(np.isfinite(x) for x in losses)
+    assert np.isfinite(dev)

@@ -17,6 +17,14 @@ HALF_STEPS = 4
 TIMING_KEYS = {"duration_step", "tokens_per_second_per_gpu", "train_clock_time"}
 
 
+def _deep_merge(dst: dict, src: dict) -> None:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_merge(dst[k], v)
+        else:
+            dst[k] = v
+
+
 def run_trainer(model_dir, ckpt_dir, max_steps, training_state=None, save_steps=HALF_STEPS, mesh=None, extra_cfg=None):
     from ssi_tpu.train import Trainer
 
@@ -27,7 +35,7 @@ def run_trainer(model_dir, ckpt_dir, max_steps, training_state=None, save_steps=
     if mesh is not None:
         cfg_dict["parallel"] = {"dp": mesh[0], "tp": mesh[1]}
     if extra_cfg:
-        cfg_dict.update(extra_cfg)
+        _deep_merge(cfg_dict, extra_cfg)
     # Constant LR: a cosine schedule depends on max_steps, which differs between the
     # full and interrupted runs (same choice as ref: tests/test_resume_equivalence.py:128).
     cfg_dict["lr_scheduler"] = None
@@ -246,3 +254,33 @@ def test_resume_across_epoch_boundary(model_dir, tmp_path, monkeypatch):
         save_steps=2,
     )
     assert losses_c + losses_d == losses_full
+
+
+def test_resume_equivalence_windowed_packed(model_dir, tmp_path, monkeypatch):
+    """Bitwise resume with the streaming windowed packer (VERDICT r2 item 4):
+    pack content is a pure function of (epoch, window), so no packer state is
+    checkpointed and the loss stream must continue exactly."""
+    _patch_data(monkeypatch)
+    packed = {
+        "data": {
+            "train": {"packed": True, "pack_window": 16},
+            "dev": {"packed": True, "pack_window": 16},
+        }
+    }
+
+    _, losses_full, _ = run_trainer(model_dir, tmp_path / "full", TOTAL_STEPS, extra_cfg=packed)
+    assert len(losses_full) == TOTAL_STEPS
+
+    _, losses_a, _ = run_trainer(model_dir, tmp_path / "int", HALF_STEPS, extra_cfg=packed)
+    state_path = tmp_path / "int" / "training_state.msgpack"
+    t2, losses_b, _ = run_trainer(
+        model_dir=tmp_path / "int" / f"step_{HALF_STEPS}",
+        ckpt_dir=tmp_path / "resumed",
+        max_steps=TOTAL_STEPS,
+        training_state=state_path,
+        extra_cfg=packed,
+    )
+    assert t2.global_step == TOTAL_STEPS
+    assert losses_a + losses_b == losses_full, (
+        f"Packed loss streams diverge:\nfull    ={losses_full}\ncombined={losses_a + losses_b}"
+    )
