@@ -44,7 +44,9 @@ class CompletionSequenceType(Enum):
     CONCATENATED_TXT_DSU = "concatenated_txt_dsu"
     CONCATENATED_DSU_TXT = "concatenated_dsu_txt"
 
-    # Declared but unimplemented in the reference as well (ref: ssi/data/cpt.py:36-38)
+    # Declared but left unimplemented by the reference (ref: ssi/data/cpt.py:36-38);
+    # implemented here per the reference's own enum comments: DSU-only sequences,
+    # regular text completion, and per-sample alternation between the two.
     DSU_ONLY = "dsu_only"
     TEXT_ONLY = "text_only"
     ALTERNATING = "alternating"
@@ -111,6 +113,12 @@ class TextCompletionDataset:
             self.prompt_fn = partial(concatenate_speech_text, keys=self.keys, start_with_text=True)
         elif self.sequence_type is CompletionSequenceType.CONCATENATED_DSU_TXT:
             self.prompt_fn = partial(concatenate_speech_text, keys=self.keys, start_with_text=False)
+        elif self.sequence_type is CompletionSequenceType.DSU_ONLY:
+            self.prompt_fn = partial(single_modality, keys=self.keys, modality="dsu")
+        elif self.sequence_type is CompletionSequenceType.TEXT_ONLY:
+            self.prompt_fn = partial(single_modality, keys=self.keys, modality="text")
+        elif self.sequence_type is CompletionSequenceType.ALTERNATING:
+            self.prompt_fn = partial(alternating, keys=self.keys)
         else:
             raise ValueError(f"Unsupported sequence type: {self.sequence_type}")
 
@@ -198,6 +206,49 @@ def interleave(
 
     mm_spans = (text_spans, dsu_spans) if start_with_text else (dsu_spans, text_spans)
     return " ".join([span for spans in zip_longest(*mm_spans) for span in spans if span is not None])
+
+
+def single_modality(
+    sample: dict[str, Any],
+    deduplicate: bool,
+    use_modality_tokens: bool,
+    *,
+    rng: np.random.Generator,  # unused; uniform prompt_fn(..., rng=rng) interface
+    modality: str,
+    keys: dict[str, str],
+) -> str:
+    """Whole-utterance single-modality sequence: ``dsu_only`` / ``text_only``
+    (declared by the reference enum, ref: ssi/data/cpt.py:36-37). Span
+    construction matches the corresponding half of ``concatenate_speech_text``
+    exactly (dedup, PUA mapping, modality-token prefixing)."""
+    if modality == "text":
+        text: str = " ".join(sample[keys["tokenized"]])
+        return " ".join((MODALITY_TOKEN_TEXT, text)) if use_modality_tokens else text
+    speech_tokens: list[int] = sample[keys["speech_tokens"]]
+    if deduplicate:
+        speech_tokens = [k for k, _ in groupby(speech_tokens)]
+    dsus_str: str = "".join([dsu2pua(sp_tkn) for sp_tkn in speech_tokens])
+    return " ".join((MODALITY_TOKEN_SPEECH, dsus_str)) if use_modality_tokens else dsus_str
+
+
+def alternating(
+    sample: dict[str, Any],
+    deduplicate: bool,
+    use_modality_tokens: bool,
+    *,
+    rng: np.random.Generator,
+    keys: dict[str, str],
+) -> str:
+    """Per-sample 50/50 alternation between text-only and DSU-only sequences
+    (ref enum comment, ssi/data/cpt.py:38). Uses the same per-sample RNG
+    discipline as ``interleave``'s start_with_text draw — the choice is a pure
+    function of (seed, epoch, index), so it is order-independent and
+    resume-exact."""
+    use_text = bool(rng.choice([True, False], p=[0.5, 0.5]))
+    return single_modality(
+        sample, deduplicate, use_modality_tokens, rng=rng,
+        modality="text" if use_text else "dsu", keys=keys,
+    )
 
 
 def concatenate_speech_text(

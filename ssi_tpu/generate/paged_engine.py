@@ -459,6 +459,15 @@ class PagedDecodeEngine:
 
         try:
             while len(results) < n_total:
+                # 0) opportunistic harvest: collect any in-flight chunk whose
+                # result is already computed (copy_to_host_async was issued at
+                # dispatch, so device_get is a cheap host-buffer read). This
+                # refills done slots ~pipeline_depth chunks earlier than the
+                # blocking harvest alone — with mean generations of only a few
+                # chunks, that idle time is the dominant occupancy loss.
+                while pending and pending[0]["packed"].is_ready():
+                    harvest_oldest()
+
                 # 1) admit new prompts into free slots, then prefill them batched
                 admitted: list[tuple[int, int]] = []
                 for slot_id in range(self.n_slots):

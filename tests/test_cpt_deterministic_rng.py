@@ -83,16 +83,68 @@ def test_interleave_deterministic_given_rng():
     assert out1 != out3
 
 
-def test_unsupported_sequence_types(tiny_extended_tokenizer_path, synthetic_data):
-    tokenizer, _ = setup_llama3_tokenizer(tiny_extended_tokenizer_path, max_seq_len=256, verbose=False)
-    for seq_type in ["dsu_only", "text_only", "alternating"]:
-        assert CompletionSequenceType(seq_type)  # declared
-        with pytest.raises(ValueError, match="Unsupported sequence type"):
-            TextCompletionDataset(
-                tokenizer=tokenizer,
-                source="synthetic/cpt",
-                split="train",
-                sequence_type=seq_type,
-                deduplicate=True,
-                use_modality_tokens=False,
-            )
+def _make_ds(tokenizer_path, seq_type, use_modality_tokens=False):
+    tokenizer, _ = setup_llama3_tokenizer(tokenizer_path, max_seq_len=256, verbose=False)
+    return TextCompletionDataset(
+        tokenizer=tokenizer,
+        source="synthetic/cpt",
+        split="train",
+        sequence_type=seq_type,
+        deduplicate=True,
+        use_modality_tokens=use_modality_tokens,
+    )
+
+
+def test_all_declared_sequence_types_usable(tiny_extended_tokenizer_path, synthetic_data):
+    """All six enum values construct (VERDICT r2 item 6); the reference left
+    dsu_only/text_only/alternating declared-unimplemented (ref: ssi/data/cpt.py:36-38)."""
+    for seq_type in CompletionSequenceType:
+        if seq_type is CompletionSequenceType.INTERLEAVED:
+            continue  # needs interleave_kwargs; covered by the main fixture
+        ds = _make_ds(tiny_extended_tokenizer_path, seq_type.value)
+        row = ds[0]
+        assert len(row["tokens"]) > 1 and row["tokens"] == row["labels"]
+
+
+def test_single_modality_content(tiny_extended_tokenizer_path, synthetic_data):
+    """dsu_only rows carry only PUA speech tokens; text_only rows carry none."""
+
+    def is_pua(tid, tokenizer):
+        text = tokenizer.decode([tid], skip_special_tokens=False)
+        return len(text) == 1 and 0xE000 <= ord(text) <= 0xF8FF
+
+    dsu_ds = _make_ds(tiny_extended_tokenizer_path, "dsu_only")
+    txt_ds = _make_ds(tiny_extended_tokenizer_path, "text_only")
+    tok = dsu_ds._tokenizer
+    specials = {tok.bos_id, tok.eos_id}
+    dsu_body = [t for t in dsu_ds[0]["tokens"] if t not in specials]
+    txt_body = [t for t in txt_ds[0]["tokens"] if t not in specials]
+    assert dsu_body and all(is_pua(t, tok) for t in dsu_body)
+    assert txt_body and not any(is_pua(t, tok) for t in txt_body)
+
+
+def test_alternating_rng_discipline(tiny_extended_tokenizer_path, synthetic_data):
+    """alternating picks text vs DSU per sample via the (seed, epoch, index)
+    RNG: reproducible, order-independent, epoch-sensitive, and actually mixes."""
+    ds = _make_ds(tiny_extended_tokenizer_path, "alternating")
+    n = min(16, len(ds))
+    forward = [ds[i] for i in range(n)]
+    backward = [ds[i] for i in reversed(range(n))][::-1]
+    assert forward == backward  # order independence
+    assert forward == [ds[i] for i in range(n)]  # reproducible
+
+    txt_ds = _make_ds(tiny_extended_tokenizer_path, "text_only")
+    dsu_ds = _make_ds(tiny_extended_tokenizer_path, "dsu_only")
+    kinds = set()
+    for i in range(n):
+        if forward[i] == txt_ds[i]:
+            kinds.add("text")
+        elif forward[i] == dsu_ds[i]:
+            kinds.add("dsu")
+        else:
+            raise AssertionError(f"sample {i} matches neither single-modality form")
+    assert kinds == {"text", "dsu"}  # both modalities drawn across 16 samples
+
+    ds.set_epoch(1)
+    epoch1 = [ds[i] for i in range(n)]
+    assert epoch1 != forward  # epoch reseeds the draw
