@@ -138,6 +138,51 @@ def setup_metric_logger(cfg_wandb: Any, tags: list[str] | None = None, log_dir: 
     return JsonlLogger(log_dir=log_dir)
 
 
+def configure_job_logging(cfg: Any, run_dir: Path | str, job_name: str = "train") -> None:
+    """Apply the user's hydra/job_logging config group, or the built-in default.
+
+    Restores the reference's overridable logging surface
+    (ref: conf/hydra/job_logging/custom.yaml:1-34): if the composed config
+    carries ``hydra.job_logging_config`` (set by ssi_tpu.config.compose), that
+    yaml is applied via ``logging.config.dictConfig`` after substituting the
+    reference's ``${hydra.runtime.output_dir}`` / ``${hydra.job.name}``
+    placeholders — reference logging configs drop in unchanged. Selecting
+    ``hydra/job_logging=none`` keeps basic console logging only. Configs built
+    without the composer fall back to the hardcoded per-run file handler.
+    """
+    hydra_node = cfg.get("hydra") if hasattr(cfg, "get") else None
+    choice = hydra_node.get("job_logging") if hydra_node is not None else "custom"
+    if choice in (None, "none"):
+        return
+    yaml_path = hydra_node.get("job_logging_config") if hydra_node is not None else None
+    if yaml_path is None:
+        attach_run_file_logging(run_dir, job_name)  # composer-less fallback
+        return
+
+    import logging.config
+
+    import yaml as _yaml
+
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    text = Path(yaml_path).read_text()
+    text = text.replace("${hydra.runtime.output_dir}", str(run_dir))
+    text = text.replace("${hydra.job.name}", str(job_name))
+    config = _yaml.safe_load(text)
+    try:
+        import colorlog  # noqa: F401
+    except ImportError:
+        # degrade the colorlog formatter to `simple` rather than failing
+        fmts = config.get("formatters", {})
+        if "colorlog" in fmts:
+            fmts.pop("colorlog")
+            for handler in config.get("handlers", {}).values():
+                if handler.get("formatter") == "colorlog":
+                    handler["formatter"] = "simple"
+    logging.config.dictConfig(config)
+    LOGGER.info(f"Applied job_logging config {yaml_path} (run dir {run_dir})")
+
+
 def attach_run_file_logging(run_dir: Path | str, job_name: str = "train") -> None:
     """Attach a per-run file handler to the root logger.
 

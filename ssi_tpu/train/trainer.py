@@ -189,9 +189,9 @@ class Trainer:
             LOGGER.info(f"No checkpointer output dir provided. Resolved to: {self.cfg.checkpointer.output_dir}")
         if hasattr(self.metric_logger, "set_log_dir"):
             self.metric_logger.set_log_dir(self.cfg.checkpointer.output_dir)
-        from ssi_tpu.train.metric_logging import attach_run_file_logging
+        from ssi_tpu.train.metric_logging import configure_job_logging
 
-        attach_run_file_logging(self.cfg.checkpointer.output_dir, job_name=str(self.cfg.config_name))
+        configure_job_logging(self.cfg, self.cfg.checkpointer.output_dir, job_name=str(self.cfg.config_name))
 
     def _setup_model(self) -> None:
         self._llama_config = copy.deepcopy(get_model_config(self.cfg.get("model_config", "llama3_2_1b")))

@@ -116,3 +116,42 @@ def test_select_and_setdefault():
 def test_embedded_interpolation_stringifies():
     cfg = Config({"name": "m", "n": 5, "derived": "${name}-${n}-dsus"})
     assert cfg.derived == "m-5-dsus"
+
+
+def test_job_logging_group_surface(tmp_path):
+    """hydra/job_logging config group (ref: conf/hydra/job_logging/custom.yaml):
+    default selection resolves the yaml, `none` disables, unknown names fail."""
+    cfg = compose(str(CONF), "cpt", overrides=["data=cpt/mls-hubert_large_ll60k-layer_22"])
+    assert cfg.hydra.job_logging == "custom"
+    assert cfg.hydra.job_logging_config.endswith("hydra/job_logging/custom.yaml")
+
+    cfg_off = compose(str(CONF), "cpt", overrides=["data=cpt/mls-hubert_large_ll60k-layer_22", "hydra/job_logging=none"])
+    assert cfg_off.hydra.job_logging == "none"
+    assert cfg_off.select("hydra.job_logging_config", default=None) is None
+
+    with pytest.raises(FileNotFoundError, match="job_logging"):
+        compose(str(CONF), "cpt", overrides=["data=cpt/mls-hubert_large_ll60k-layer_22", "hydra/job_logging=nope"])
+
+
+def test_job_logging_applied_at_runtime(tmp_path):
+    """configure_job_logging substitutes the reference placeholders and wires a
+    per-run file handler through logging.config.dictConfig."""
+    import logging
+
+    from ssi_tpu.train.metric_logging import configure_job_logging
+
+    cfg = compose(str(CONF), "cpt", overrides=["data=cpt/mls-hubert_large_ll60k-layer_22"])
+    run_dir = tmp_path / "run"
+    configure_job_logging(cfg, run_dir, job_name="cpt")
+    try:
+        logging.getLogger("ssi_tpu.test_job_logging").info("hello from dictConfig")
+        logging.shutdown()
+        log_file = run_dir / "cpt.log"
+        assert log_file.is_file()
+        assert "hello from dictConfig" in log_file.read_text()
+    finally:
+        # dictConfig replaced global handlers; restore a sane default for other tests
+        root = logging.getLogger()
+        for h in list(root.handlers):
+            root.removeHandler(h)
+        logging.basicConfig(level=logging.INFO)
