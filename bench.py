@@ -15,7 +15,9 @@ FLOPs) and single-chunk fused CE — measured 13.2k vs 10.6k tokens/s for the
 naive bs16 x accum4 full-remat layout (tools/bench_sweep.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"} where
-extra carries the SFT-shape and packed-CPT throughputs (packed must be >= dense).
+extra carries the SFT-shape and packed-CPT throughputs (packed must be >= dense)
+plus the paged continuous-batching decode numbers (bf16 + opt-in int8) at the
+serving shape — driver-captured so BENCH_r0N records decode, not just train.
 
 Baseline: the reference publishes no number (BASELINE.md). We use an engineering
 estimate of 1x A6000 torch-eager throughput for this exact workload:
@@ -120,10 +122,46 @@ def _measure(shape, packed: bool = False, steps: int = STEPS) -> float:
     return tokens_per_step * steps / dt / n_chips
 
 
+def _measure_paged_decode(quantize=None) -> float:
+    """Paged continuous-batching decode at the serving shape (driver-captured
+    per VERDICT r2 item 1). Ragged workload identical to bench_decode.py's:
+    96 prompts, ~geometric generation lengths via a 1%-vocab stop set."""
+    from ssi_tpu.generate.engine import SamplingParams
+    from ssi_tpu.generate.paged_engine import PagedDecodeEngine
+    from ssi_tpu.models.configs import configllama3_2_1b
+    from ssi_tpu.models.llama3 import init_params
+
+    cfg = configllama3_2_1b.copy()
+    cfg.n_dsus = 5000
+    cfg.modality_tokens = True
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+
+    max_tokens = 256
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, 128_000, int(n)).tolist() for n in rng.integers(50, 700, 96)]
+    stops = tuple(int(t) for t in rng.choice(cfg.vocab_size, cfg.vocab_size // 100, replace=False))
+    sp = SamplingParams(temperature=0.0, max_tokens=max_tokens, stop_token_ids=stops)
+    engine = PagedDecodeEngine(
+        params, cfg, pad_id=133_006, n_slots=48,
+        max_context=max(len(p) for p in prompts) + max_tokens,
+        quantize=quantize,
+    )
+    engine.generate_batch(prompts, sp)  # compile + warmup
+    best = 0.0
+    for _ in range(3):  # best-of-3: tunnel round-trip latency fluctuates
+        t0 = time.perf_counter()
+        outs = engine.generate_batch(prompts, sp)
+        dt = time.perf_counter() - t0
+        best = max(best, sum(len(o["token_ids"]) for o in outs) / dt)
+    return best
+
+
 def main() -> None:
     cpt = _measure(CPT_SHAPE)
     sft = _measure(SFT_SHAPE, steps=6)
     packed = _measure(CPT_SHAPE, packed=True, steps=6)
+    paged = _measure_paged_decode()
+    paged_int8 = _measure_paged_decode(quantize="int8")
     print(
         json.dumps(
             {
@@ -134,6 +172,9 @@ def main() -> None:
                 "extra": {
                     "sft_tokens_per_sec_bs2x2048": round(sft, 1),
                     "packed_cpt_tokens_per_sec": round(packed, 1),
+                    "paged_decode_tok_s": round(paged, 1),
+                    "paged_decode_int8_tok_s": round(paged_int8, 1),
+                    "paged_decode_int8_ratio": round(paged_int8 / paged, 3),
                 },
             }
         )

@@ -120,10 +120,26 @@ def main() -> None:
     dense_b8 = bench_dense_b8(cfg, params)
     dense_rg, dense_total, dense_tok = bench_ragged(cfg, params, "dense")
     paged_rg, paged_total, paged_tok = bench_ragged(cfg, params, "paged", n_runs=3)
-    int8_rg, _, _ = bench_ragged(cfg, params, "paged", n_runs=3, quantize="int8")
+    int8_rg, _, int8_tok = bench_ragged(cfg, params, "paged", n_runs=3, quantize="int8")
     # bf16 argmax ties flip between programs on random weights; report the match
     # fraction (fp32-CPU bitwise parity is asserted in tests/test_paged_decode.py)
     match_frac = sum(a == b for a, b in zip(dense_tok, paged_tok)) / len(dense_tok)
+
+    # int8 quality gate (VERDICT r2 item 5): greedy agreement vs bf16 on the
+    # same engine/workload. NB on RANDOM weights logit margins are ~0, so any
+    # quantization noise flips argmax — this is an adversarial LOWER bound and
+    # a drift detector, not the acceptance number. The acceptance measurement
+    # for the opt-in mode is on a real checkpoint: run scripts/generate.py
+    # twice (quantize_weights=null / int8) and score both with
+    # scripts/wer_parity.py --skip-generate; acceptance = WER delta <= 0.1
+    # (same bar as BASELINE's reference-parity target).
+    exact = sum(a == b for a, b in zip(paged_tok, int8_tok)) / len(paged_tok)
+    prefix_fracs = []
+    for a, b in zip(paged_tok, int8_tok):
+        n = min(len(a), len(b))
+        shared = next((i for i in range(n) if a[i] != b[i]), n)
+        prefix_fracs.append(shared / max(n, 1))
+    int8_prefix_agreement = sum(prefix_fracs) / len(prefix_fracs)
 
     print(
         json.dumps(
@@ -139,6 +155,8 @@ def main() -> None:
                     "paged_int8_b48_ragged": round(int8_rg, 1),
                     "ragged_tokens": paged_total,
                     "greedy_match_fraction_vs_dense": round(match_frac, 3),
+                    "int8_exact_sequence_agreement": round(exact, 3),
+                    "int8_greedy_prefix_agreement": round(int8_prefix_agreement, 3),
                 },
             }
         )
