@@ -79,10 +79,12 @@ class PagedDecodeEngine:
         prompt_bucket: prefill programs are compiled per multiple of this.
         chunk: decode steps per device dispatch.
         attn_impl: "gather" (XLA, anywhere), "pallas" (TPU), or "auto".
-        pipeline_depth: chunks kept in flight before the oldest is harvested
-            (1 = harvest immediately after each dispatch). Depth 2 keeps the
-            device busy through the per-harvest host round trip at the cost of
-            finished slots idling up to one extra chunk before refill.
+        pipeline_depth: chunks kept in flight before the oldest is BLOCK-harvested
+            (1 = harvest immediately after each dispatch). Ready results are
+            additionally collected opportunistically every iteration, so deeper
+            pipelines no longer idle finished slots. v5e sweep at the serving
+            shape (48 slots, chunk 16): depth 2 = 3.19k, depth 3 = 3.27k,
+            depth 4 = 2.65k tok/s -> default 3.
         quantize: None (bf16 weights) or "int8" (weight-only per-channel int8
             for the layer stack — faster decode, not bitwise vs bf16).
     """
@@ -100,7 +102,7 @@ class PagedDecodeEngine:
         prompt_bucket: int = 128,
         chunk: int = 16,
         attn_impl: str = "auto",
-        pipeline_depth: int = 2,
+        pipeline_depth: int = 3,
         quantize: str | None = None,
     ):
         if quantize == "int8":
