@@ -36,7 +36,7 @@ Params = dict[str, Any]
 # matmul outputs resident so the backward pass skips recomputing them — at
 # bs4xS768 the QKV+gate+up set costs ~119 MB/layer and avoids ~64% of the
 # recompute FLOPs (the MLP matmuls dominate: 824 of 1532 GFLOP/layer/micro).
-REMAT_POLICIES = ("full", "none", "save_qkv", "save_mlp", "save_qkv_mlp")
+REMAT_POLICIES = ("full", "none", "save_qkv", "save_mlp", "save_qkv_mlp", "save_qkv_mlp_attn")
 
 
 def _remat_policy(remat: bool | str):
@@ -51,6 +51,11 @@ def _remat_policy(remat: bool | str):
         "save_qkv": ("qkv",),
         "save_mlp": ("mlp_gate", "mlp_up"),
         "save_qkv_mlp": ("qkv", "mlp_gate", "mlp_up"),
+        # + the attention output: the flash custom-VJP's residuals (o, lse)
+        # otherwise force a full forward-kernel re-run in the backward pass
+        # (round-3 profile: 113 ms/step of rematted_computation) for ~13
+        # MB/layer extra residency.
+        "save_qkv_mlp_attn": ("qkv", "mlp_gate", "mlp_up", "attn_out"),
     }
     if remat not in saveable:
         raise ValueError(f"Unknown remat policy {remat!r}; expected one of {REMAT_POLICIES} or bool")

@@ -19,9 +19,12 @@ Replaces torch SDPA/flex-attention in the reference's hot path (ref: SURVEY.md Â
   group accumulate into the same output block) and a fori loop over q blocks.
 - Causal masking and packed-sequence ``segment_ids`` supported in fwd + bwd.
 
-Numerics: scores/softmax in fp32, matmuls with ``preferred_element_type=float32``;
-output cast back to the input dtype. Matches ops.attention.xla_attention to
-~1e-2 in bf16 and ~1e-5 in fp32 (see tests/test_flash_attention.py).
+Numerics: matmul OPERANDS stay in the input dtype (bf16) with
+``preferred_element_type=float32`` accumulation â€” an f32xf32 dot runs the MXU
+at 1/4 rate, which round-3 profiling measured as 518 ms (16%) of the CPT step
+at ~5% MFU; softmax statistics and the dk/dv accumulators are fp32. Matches
+ops.attention.xla_attention to ~1e-2 in bf16 and ~1e-5 in fp32
+(see tests/test_flash_attention.py).
 """
 
 from __future__ import annotations
@@ -50,14 +53,17 @@ def _pick_block_q(s: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, *, causal, sm_scale, block_q, use_segs):
     qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32)  # [bq, D]
-    k = k_ref[0, 0].astype(jnp.float32)  # [S, D]
+    # MXU dtype discipline (the profiled 5%-MFU bug of round 2): operands stay
+    # bf16 â€” an f32xf32 dot runs the MXU at 1/4 rate â€” while
+    # preferred_element_type=f32 keeps fp32 accumulation. Standard flash
+    # numerics: only softmax/statistics run in f32.
     s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q_ref[0, 0], k_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [bq, S]
     s = s * sm_scale
 
-    s_kv = k.shape[0]
+    s_kv = k_ref.shape[2]
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, s_kv), 0)
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_kv), 1)
     mask = jnp.ones((block_q, s_kv), jnp.bool_)
@@ -130,16 +136,16 @@ def _fwd(q, k, v, segment_ids, causal, sm_scale, block_q):
 
 def _dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref, dq_ref, *, causal, sm_scale, block_q, use_segs):
     qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
     lse = lse_ref[0, 0]  # [bq, 1]
     delta = delta_ref[0, 0]  # [bq, 1]
 
-    s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    # bf16 operands + f32 accumulation on every dot (see _fwd_kernel note)
+    s = jax.lax.dot_general(
+        q_ref[0, 0], k_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     s = s * sm_scale
-    s_kv = k.shape[0]
+    s_kv = k_ref.shape[2]
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, s_kv), 0)
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_kv), 1)
     mask = jnp.ones((block_q, s_kv), jnp.bool_)
@@ -149,7 +155,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_r
         mask = jnp.logical_and(mask, qseg_ref[0, 0][:, None] == kseg_ref[0, 0][None, :])
     p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, S]
 
-    dp = jax.lax.dot_general(do, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do_ref[0, 0], v_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     ds = p * (dp - delta) * sm_scale
     dq = jax.lax.dot_general(ds.astype(k_ref.dtype), k_ref[0, 0], dimension_numbers=(((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -158,7 +167,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_r
 
 def _dkv_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, causal, sm_scale, block_q, n_rep, use_segs):
     hi = pl.program_id(1)
-    k = k_ref[0, 0].astype(jnp.float32)  # [S, D]
+    k = k_ref[0, 0]  # [S, D] bf16 (see _fwd_kernel dtype note)
     s_kv = k.shape[0]
     n_q_blocks = q_ref.shape[2] // block_q
 
@@ -168,8 +177,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_
         dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
     def body(qi, _):
-        q = q_ref[0, 0, pl.ds(qi * block_q, block_q)].astype(jnp.float32)  # [bq, D]
-        do = do_ref[0, 0, pl.ds(qi * block_q, block_q)].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(qi * block_q, block_q)]  # [bq, D] bf16
+        do = do_ref[0, 0, pl.ds(qi * block_q, block_q)]
         lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]  # [bq, 1]
         delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)]  # [bq, 1]
 
@@ -183,18 +192,19 @@ def _dkv_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_
         if use_segs:
             qseg = qseg_ref[0, 0, pl.ds(qi * block_q, block_q)]
             mask = jnp.logical_and(mask, qseg[:, None] == kseg_ref[0, 0][None, :])
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, S]
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, S] f32
 
-        v = v_ref[0, 0].astype(jnp.float32)
-        dp = jax.lax.dot_general(do, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * sm_scale  # [bq, S]
+        dp = jax.lax.dot_general(
+            do, v_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.asarray(delta, jnp.float32)) * sm_scale  # [bq, S] f32
 
         dv_ref[0, 0] += jax.lax.dot_general(
             p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dv_ref.dtype)
+        )
         dk_ref[0, 0] += jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dk_ref.dtype)
+            ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         return ()
 
     jax.lax.fori_loop(0, n_q_blocks, body, ())
@@ -264,17 +274,28 @@ def _bwd(q, k, v, segment_ids, o, lse, do, causal, sm_scale, block_q):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash_bhsd(q, k, v, segment_ids, causal, sm_scale, block_q):
-    o, _ = _fwd(q, k, v, segment_ids, causal, sm_scale, block_q)
-    return o
+    # lse is returned as a PRIMAL output (callers discard it) so a remat policy
+    # can checkpoint-name BOTH backward residuals: with only o nameable, the
+    # backward pass would re-run this whole forward kernel just to regenerate
+    # lse (round-3 profile: 113 ms/step of rematted_computation).
+    return _fwd(q, k, v, segment_ids, causal, sm_scale, block_q)
 
 
 def _flash_fwd_rule(q, k, v, segment_ids, causal, sm_scale, block_q):
+    from jax.ad_checkpoint import checkpoint_name
+
     o, lse = _fwd(q, k, v, segment_ids, causal, sm_scale, block_q)
-    return o, (q, k, v, segment_ids, o, lse)
+    # name the RESIDUALS (not just the primal output): the remat policy decides
+    # per named value; both o and lse must be saved or the whole forward kernel
+    # re-runs in the backward pass to regenerate them
+    res_o = checkpoint_name(o, "attn_out")
+    res_lse = checkpoint_name(lse, "attn_out")
+    return (o, lse), (q, k, v, segment_ids, res_o, res_lse)
 
 
-def _flash_bwd_rule(causal, sm_scale, block_q, residuals, do):
+def _flash_bwd_rule(causal, sm_scale, block_q, residuals, cotangents):
     q, k, v, segment_ids, o, lse = residuals
+    do, _ = cotangents  # lse cotangent is structurally zero (output unused)
     dq, dk, dv = _bwd(q, k, v, segment_ids, o, lse, do, causal, sm_scale, block_q)
     return dq, dk, dv, None
 
@@ -307,5 +328,10 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    o = _flash_bhsd(qt, kt, vt, segment_ids, causal, sm_scale, block_q)
+    o, lse = _flash_bhsd(qt, kt, vt, segment_ids, causal, sm_scale, block_q)
+    # tag both residuals for selective remat (save_qkv_mlp_attn policy)
+    from jax.ad_checkpoint import checkpoint_name
+
+    o = checkpoint_name(o, "attn_out")
+    _ = checkpoint_name(lse, "attn_out")
     return o.transpose(0, 2, 1, 3).astype(q.dtype)
