@@ -82,10 +82,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, *, caus
     l = jnp.sum(p, axis=1, keepdims=True)
     l_safe = jnp.maximum(l, 1e-30)
     o = jax.lax.dot_general(
-        (p / l_safe).astype(v_ref.dtype), v_ref[0, 0], dimension_numbers=(((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[0, 0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    # normalization deferred to the [bq, D] output — 12x fewer elements than
+    # dividing the [bq, S] probability block (the kernel is VPU-bound)
+    o_ref[0, 0] = (o / l_safe).astype(o_ref.dtype)
     lse_ref[0, 0] = m_safe + jnp.log(l_safe)  # [bq, 1]
 
 
@@ -134,10 +136,14 @@ def _fwd(q, k, v, segment_ids, causal, sm_scale, block_q):
 # ----------------------------------------------------------------------------------
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref, dq_ref, *, causal, sm_scale, block_q, use_segs):
+def _dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, o_ref, dq_ref, delta_ref, *, causal, sm_scale, block_q, use_segs):
     qi = pl.program_id(2)
     lse = lse_ref[0, 0]  # [bq, 1]
-    delta = delta_ref[0, 0]  # [bq, 1]
+    # delta fused here: the separate XLA sum(o * do) pass over [B,H,S,D] cost
+    # 70 ms/step in the round-3 profile; dq's grid covers each q block exactly
+    # once, and the dk/dv kernel consumes the emitted array.
+    delta = jnp.sum(o_ref[0, 0].astype(jnp.float32) * do_ref[0, 0].astype(jnp.float32), axis=-1, keepdims=True)
+    delta_ref[0, 0] = delta
 
     # bf16 operands + f32 accumulation on every dot (see _fwd_kernel note)
     s = jax.lax.dot_general(
@@ -214,7 +220,6 @@ def _bwd(q, k, v, segment_ids, o, lse, do, causal, sm_scale, block_q):
     b, hq, s, d = q.shape
     hkv = k.shape[1]
     n_rep = hq // hkv
-    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True)  # [B, H, S, 1]
 
     if segment_ids is None:
         segs = jnp.zeros((b, 1, s), jnp.int32)
@@ -222,7 +227,7 @@ def _bwd(q, k, v, segment_ids, o, lse, do, causal, sm_scale, block_q):
         segs = segment_ids.astype(jnp.int32)[:, None, :]
     use_segs = segment_ids is not None
 
-    dq = pl.pallas_call(
+    dq, delta = pl.pallas_call(
         functools.partial(_dq_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q, use_segs=use_segs),
         grid=(b, hq, s // block_q),
         in_specs=[
@@ -233,11 +238,17 @@ def _bwd(q, k, v, segment_ids, o, lse, do, causal, sm_scale, block_q):
             pl.BlockSpec((1, 1, s), lambda bi, hi, qi: (bi, 0, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
-    )(q, k, v, segs, segs, do, lse, delta)
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
+        ],
+    )(q, k, v, segs, segs, do, lse, o)
 
     dk, dv = pl.pallas_call(
         functools.partial(
