@@ -8,15 +8,24 @@ Replaces torch SDPA/flex-attention in the reference's hot path (ref: SURVEY.md Â
   S x 64 bf16 <= 256 KB, so each kernel instance holds full K/V in VMEM and
   computes an exact softmax over the full row â€” no online-softmax passes, fewer
   VMEM round-trips than the textbook streaming variant, same O(S^2 D) FLOPs.
-- **Blocked over queries**: grid (B, H, S/block_q); scores block is
+- **Blocked over queries**: forward grid (B, H, S/block_q); scores block is
   [block_q, S] fp32 in-register (<= 4 MB at S=2048, block_q=512).
 - **GQA without materialization**: the K/V BlockSpec index-maps query head h to
   kv head h // n_rep, so grouped heads re-read the same VMEM block instead of
   expanding K/V in HBM (the XLA path and the reference's torch path both expand).
-- **Backward**: two Pallas kernels. dq: same grid as forward, recomputes P from
-  the saved logsumexp. dk/dv: grid (B, H) with sequential accumulation over the
-  grouped query heads (TPU grids execute sequentially, so consecutive h in a kv
-  group accumulate into the same output block) and a fori loop over q blocks.
+- **Pre-scaled queries**: the softmax scale is folded into q OUTSIDE the kernels
+  (``q * sm_scale`` fuses into the preceding projection in XLA, and autodiff
+  chains the scale into dq for free). The kernels are VPU-bound â€” round-3
+  profiling put the elementwise [bq, S] passes, not the MXU dots, at ~15% of
+  the CPT step â€” so every eliminated full-block multiply (1 in fwd, 2 in bwd)
+  is a direct win. For head_dim 64 the scale is 1/8: exact in bf16.
+- **Fused backward**: ONE kernel with grid (B, H) and a fori loop over q blocks
+  produces dq, dk, dv together. TPU Pallas grids execute sequentially on the
+  core, so the old dq-kernel/dkv-kernel split bought no parallelism â€” it just
+  recomputed s/mask/p/dp twice and re-fetched q/do/lse from HBM. Consecutive
+  grouped query heads accumulate dk/dv into the same revisited output block;
+  delta = sum(o*do) is computed inline per q block (the separate XLA delta
+  pass cost 70 ms/step before round 3 fused it into the bwd).
 - Causal masking and packed-sequence ``segment_ids`` supported in fwd + bwd.
 
 Numerics: matmul OPERANDS stay in the input dtype (bf16) with
@@ -46,34 +55,41 @@ def _pick_block_q(s: int) -> int:
     return s
 
 
+def _causal_mask(qi: int, block_q: int, s_kv: int):
+    # 1D iotas + a broadcast compare: Mosaic keeps the row/column indices
+    # in-register instead of materializing two full [bq, S] i32 planes
+    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s_kv), 1)
+    return cols <= rows
+
+
 # ----------------------------------------------------------------------------------
 # Forward
 # ----------------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, *, causal, sm_scale, block_q, use_segs):
+def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, *, causal, block_q, use_segs):
     qi = pl.program_id(2)
     # MXU dtype discipline (the profiled 5%-MFU bug of round 2): operands stay
     # bf16 â€” an f32xf32 dot runs the MXU at 1/4 rate â€” while
     # preferred_element_type=f32 keeps fp32 accumulation. Standard flash
-    # numerics: only softmax/statistics run in f32.
+    # numerics: only softmax/statistics run in f32. q arrives pre-scaled.
     s = jax.lax.dot_general(
         q_ref[0, 0], k_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [bq, S]
-    s = s * sm_scale
 
     s_kv = k_ref.shape[2]
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, s_kv), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_kv), 1)
-    mask = jnp.ones((block_q, s_kv), jnp.bool_)
+    mask = None
     if causal:
-        mask = k_pos <= q_pos
+        mask = _causal_mask(qi, block_q, s_kv)
     if use_segs:
         qseg = qseg_ref[0, 0]  # [bq]
         kseg = kseg_ref[0, 0]  # [S]
-        mask = jnp.logical_and(mask, qseg[:, None] == kseg[None, :])
-    s = jnp.where(mask, s, _NEG_INF)
+        seg_mask = qseg[:, None] == kseg[None, :]
+        mask = seg_mask if mask is None else jnp.logical_and(mask, seg_mask)
+    if mask is not None:
+        s = jnp.where(mask, s, _NEG_INF)
 
     m = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
     # rows that are fully masked (can happen with segment padding) -> zero output
@@ -91,7 +107,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, *, caus
     lse_ref[0, 0] = m_safe + jnp.log(l_safe)  # [bq, 1]
 
 
-def _fwd(q, k, v, segment_ids, causal, sm_scale, block_q):
+def _fwd(q, k, v, segment_ids, causal, block_q):
     b, hq, s, d = q.shape
     hkv = k.shape[1]
     n_rep = hq // hkv
@@ -105,7 +121,6 @@ def _fwd(q, k, v, segment_ids, causal, sm_scale, block_q):
     kernel = functools.partial(
         _fwd_kernel,
         causal=causal,
-        sm_scale=sm_scale,
         block_q=block_q,
         use_segs=segment_ids is not None,
     )
@@ -132,91 +147,70 @@ def _fwd(q, k, v, segment_ids, causal, sm_scale, block_q):
 
 
 # ----------------------------------------------------------------------------------
-# Backward
+# Backward: one fused kernel for dq + dk + dv
 # ----------------------------------------------------------------------------------
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, o_ref, dq_ref, delta_ref, *, causal, sm_scale, block_q, use_segs):
-    qi = pl.program_id(2)
-    lse = lse_ref[0, 0]  # [bq, 1]
-    # delta fused here: the separate XLA sum(o * do) pass over [B,H,S,D] cost
-    # 70 ms/step in the round-3 profile; dq's grid covers each q block exactly
-    # once, and the dk/dv kernel consumes the emitted array.
-    delta = jnp.sum(o_ref[0, 0].astype(jnp.float32) * do_ref[0, 0].astype(jnp.float32), axis=-1, keepdims=True)
-    delta_ref[0, 0] = delta
-
-    # bf16 operands + f32 accumulation on every dot (see _fwd_kernel note)
-    s = jax.lax.dot_general(
-        q_ref[0, 0], k_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s * sm_scale
-    s_kv = k_ref.shape[2]
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, s_kv), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_kv), 1)
-    mask = jnp.ones((block_q, s_kv), jnp.bool_)
-    if causal:
-        mask = k_pos <= q_pos
-    if use_segs:
-        mask = jnp.logical_and(mask, qseg_ref[0, 0][:, None] == kseg_ref[0, 0][None, :])
-    p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, S]
-
-    dp = jax.lax.dot_general(
-        do_ref[0, 0], v_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta) * sm_scale
-    dq = jax.lax.dot_general(ds.astype(k_ref.dtype), k_ref[0, 0], dimension_numbers=(((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-
-
-def _dkv_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, causal, sm_scale, block_q, n_rep, use_segs):
+def _bwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, o_ref,
+                dq_ref, dk_ref, dv_ref, *, causal, block_q, n_rep, use_segs):
     hi = pl.program_id(1)
-    k = k_ref[0, 0]  # [S, D] bf16 (see _fwd_kernel dtype note)
+    k = k_ref[0, 0]  # [S, D] bf16 (see module dtype note)
+    v = v_ref[0, 0]
     s_kv = k.shape[0]
     n_q_blocks = q_ref.shape[2] // block_q
 
+    # consecutive grouped query heads revisit the same dk/dv output block
+    # (grid steps run sequentially on the core), so zero it at group entry
     @pl.when(hi % n_rep == 0)
     def _():
         dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
         dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
     def body(qi, _):
-        q = q_ref[0, 0, pl.ds(qi * block_q, block_q)]  # [bq, D] bf16
-        do = do_ref[0, 0, pl.ds(qi * block_q, block_q)]
-        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]  # [bq, 1]
-        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)]  # [bq, 1]
+        sl = pl.ds(qi * block_q, block_q)
+        q = q_ref[0, 0, sl]      # [bq, D] bf16 (pre-scaled)
+        do = do_ref[0, 0, sl]    # [bq, D]
+        lse = lse_ref[0, 0, sl]  # [bq, 1]
+        # delta inline: the separate XLA sum(o * do) pass over [B,H,S,D] cost
+        # 70 ms/step in the round-3 profile
+        delta = jnp.sum(
+            o_ref[0, 0, sl].astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
+        )  # [bq, 1]
 
-        s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * sm_scale
-        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, s_kv), 0)
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_kv), 1)
-        mask = jnp.ones((block_q, s_kv), jnp.bool_)
+        s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = None
         if causal:
-            mask = k_pos <= q_pos
+            mask = _causal_mask(qi, block_q, s_kv)
         if use_segs:
-            qseg = qseg_ref[0, 0, pl.ds(qi * block_q, block_q)]
-            mask = jnp.logical_and(mask, qseg[:, None] == kseg_ref[0, 0][None, :])
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, S] f32
+            qseg = qseg_ref[0, 0, sl]
+            seg_mask = qseg[:, None] == kseg_ref[0, 0][None, :]
+            mask = seg_mask if mask is None else jnp.logical_and(mask, seg_mask)
+        p = jnp.exp(s - lse)  # [bq, S] f32
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
 
-        dp = jax.lax.dot_general(
-            do, v_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - jnp.asarray(delta, jnp.float32)) * sm_scale  # [bq, S] f32
+        dp = jax.lax.dot_general(do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)  # [bq, S] f32
 
         dv_ref[0, 0] += jax.lax.dot_general(
-            p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dk_ref[0, 0] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        dq = jax.lax.dot_general(ds.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, 0, sl] = dq.astype(dq_ref.dtype)
         return ()
 
     jax.lax.fori_loop(0, n_q_blocks, body, ())
 
 
-def _bwd(q, k, v, segment_ids, o, lse, do, causal, sm_scale, block_q):
+def _bwd(q, k, v, segment_ids, o, lse, do, causal, block_q):
     b, hq, s, d = q.shape
     hkv = k.shape[1]
     n_rep = hq // hkv
@@ -227,32 +221,9 @@ def _bwd(q, k, v, segment_ids, o, lse, do, causal, sm_scale, block_q):
         segs = segment_ids.astype(jnp.int32)[:, None, :]
     use_segs = segment_ids is not None
 
-    dq, delta = pl.pallas_call(
-        functools.partial(_dq_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q, use_segs=use_segs),
-        grid=(b, hq, s // block_q),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi, n_rep=n_rep: (bi, hi // n_rep, 0, 0)),
-            pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi, n_rep=n_rep: (bi, hi // n_rep, 0, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, 0, qi)),
-            pl.BlockSpec((1, 1, s), lambda bi, hi, qi: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
-        ],
-    )(q, k, v, segs, segs, do, lse, o)
-
-    dk, dv = pl.pallas_call(
+    dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _dkv_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q, n_rep=n_rep, use_segs=use_segs
+            _bwd_kernel, causal=causal, block_q=block_q, n_rep=n_rep, use_segs=use_segs
         ),
         grid=(b, hq),
         in_specs=[
@@ -263,17 +234,19 @@ def _bwd(q, k, v, segment_ids, o, lse, do, causal, sm_scale, block_q):
             pl.BlockSpec((1, 1, s), lambda bi, hi: (bi, 0, 0)),
             pl.BlockSpec((1, 1, s, d), lambda bi, hi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, s, 1), lambda bi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, s, 1), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi: (bi, hi, 0, 0)),
         ],
         out_specs=[
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, s, d), lambda bi, hi, n_rep=n_rep: (bi, hi // n_rep, 0, 0)),
             pl.BlockSpec((1, 1, s, d), lambda bi, hi, n_rep=n_rep: (bi, hi // n_rep, 0, 0)),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
             jax.ShapeDtypeStruct((b, hkv, s, d), jnp.float32),
             jax.ShapeDtypeStruct((b, hkv, s, d), jnp.float32),
         ],
-    )(q, k, v, segs, segs, do, lse, delta)
+    )(q, k, v, segs, segs, do, lse, o)
 
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
@@ -283,19 +256,19 @@ def _bwd(q, k, v, segment_ids, o, lse, do, causal, sm_scale, block_q):
 # ----------------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_bhsd(q, k, v, segment_ids, causal, sm_scale, block_q):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_bhsd(q, k, v, segment_ids, causal, block_q):
     # lse is returned as a PRIMAL output (callers discard it) so a remat policy
     # can checkpoint-name BOTH backward residuals: with only o nameable, the
     # backward pass would re-run this whole forward kernel just to regenerate
     # lse (round-3 profile: 113 ms/step of rematted_computation).
-    return _fwd(q, k, v, segment_ids, causal, sm_scale, block_q)
+    return _fwd(q, k, v, segment_ids, causal, block_q)
 
 
-def _flash_fwd_rule(q, k, v, segment_ids, causal, sm_scale, block_q):
+def _flash_fwd_rule(q, k, v, segment_ids, causal, block_q):
     from jax.ad_checkpoint import checkpoint_name
 
-    o, lse = _fwd(q, k, v, segment_ids, causal, sm_scale, block_q)
+    o, lse = _fwd(q, k, v, segment_ids, causal, block_q)
     # name the RESIDUALS (not just the primal output): the remat policy decides
     # per named value; both o and lse must be saved or the whole forward kernel
     # re-runs in the backward pass to regenerate them
@@ -304,10 +277,10 @@ def _flash_fwd_rule(q, k, v, segment_ids, causal, sm_scale, block_q):
     return (o, lse), (q, k, v, segment_ids, res_o, res_lse)
 
 
-def _flash_bwd_rule(causal, sm_scale, block_q, residuals, cotangents):
+def _flash_bwd_rule(causal, block_q, residuals, cotangents):
     q, k, v, segment_ids, o, lse = residuals
     do, _ = cotangents  # lse cotangent is structurally zero (output unused)
-    dq, dk, dv = _bwd(q, k, v, segment_ids, o, lse, do, causal, sm_scale, block_q)
+    dq, dk, dv = _bwd(q, k, v, segment_ids, o, lse, do, causal, block_q)
     return dq, dk, dv, None
 
 
@@ -336,10 +309,13 @@ def flash_attention(
     if s % block_q != 0:
         raise ValueError(f"Sequence length {s} must be a multiple of block_q={block_q}")
     sm_scale = 1.0 / (d**0.5)
-    qt = q.transpose(0, 2, 1, 3)
+    # fold the softmax scale into q here: XLA fuses the multiply into the
+    # surrounding transpose/projection, autodiff routes it into dq, and the
+    # kernels lose one (fwd) + two (bwd) full [bq, S]/[bq, D] VPU passes
+    qt = (q * sm_scale).transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    o, lse = _flash_bhsd(qt, kt, vt, segment_ids, causal, sm_scale, block_q)
+    o, lse = _flash_bhsd(qt, kt, vt, segment_ids, causal, block_q)
     # tag both residuals for selective remat (save_qkv_mlp_attn policy)
     from jax.ad_checkpoint import checkpoint_name
 
