@@ -8,8 +8,13 @@ Replaces torch SDPA/flex-attention in the reference's hot path (ref: SURVEY.md Â
   S x 64 bf16 <= 256 KB, so each kernel instance holds full K/V in VMEM and
   computes an exact softmax over the full row â€” no online-softmax passes, fewer
   VMEM round-trips than the textbook streaming variant, same O(S^2 D) FLOPs.
-- **Blocked over queries**: forward grid (B, H, S/block_q); scores block is
-  [block_q, S] fp32 in-register (<= 4 MB at S=2048, block_q=512).
+- **Triangle blocking, statically unrolled**: grid (B, H) with a PYTHON loop
+  over q blocks, so each block's k/v extent ``(qi+1)*block_q`` is a static
+  shape: causal row qi never dots against keys it would mask anyway. Exact
+  softmax per row (a causal row's full valid range is present â€” no online
+  rescaling), no fori machinery; both were measured dead ends for the chunked
+  variant, which this is not. Saves ~1/3 of MXU and VPU work at S=768
+  (~44% at S=2048) vs the previous full-rectangle kernels.
 - **GQA without materialization**: the K/V BlockSpec index-maps query head h to
   kv head h // n_rep, so grouped heads re-read the same VMEM block instead of
   expanding K/V in HBM (the XLA path and the reference's torch path both expand).
@@ -19,9 +24,9 @@ Replaces torch SDPA/flex-attention in the reference's hot path (ref: SURVEY.md Â
   profiling put the elementwise [bq, S] passes, not the MXU dots, at ~15% of
   the CPT step â€” so every eliminated full-block multiply (1 in fwd, 2 in bwd)
   is a direct win. For head_dim 64 the scale is 1/8: exact in bf16.
-- **Fused backward**: ONE kernel with grid (B, H) and a fori loop over q blocks
-  produces dq, dk, dv together. TPU Pallas grids execute sequentially on the
-  core, so the old dq-kernel/dkv-kernel split bought no parallelism â€” it just
+- **Fused backward**: ONE kernel with grid (B, H) and the same unrolled q-block
+  loop produces dq, dk, dv together. TPU Pallas grids execute sequentially on
+  the core, so the old dq-kernel/dkv-kernel split bought no parallelism â€” it just
   recomputed s/mask/p/dp twice and re-fetched q/do/lse from HBM. Consecutive
   grouped query heads accumulate dk/dv into the same revisited output block;
   delta = sum(o*do) is computed inline per q block (the separate XLA delta
@@ -69,49 +74,56 @@ def _causal_mask(qi: int, block_q: int, s_kv: int):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, *, causal, block_q, use_segs):
-    qi = pl.program_id(2)
     # MXU dtype discipline (the profiled 5%-MFU bug of round 2): operands stay
     # bf16 â€” an f32xf32 dot runs the MXU at 1/4 rate â€” while
     # preferred_element_type=f32 keeps fp32 accumulation. Standard flash
     # numerics: only softmax/statistics run in f32. q arrives pre-scaled.
-    s = jax.lax.dot_general(
-        q_ref[0, 0], k_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [bq, S]
+    k = k_ref[0, 0]  # [S, D]
+    v = v_ref[0, 0]
+    s_kv = k.shape[0]
 
-    s_kv = k_ref.shape[2]
-    mask = None
-    if causal:
-        mask = _causal_mask(qi, block_q, s_kv)
-    if use_segs:
-        qseg = qseg_ref[0, 0]  # [bq]
-        kseg = kseg_ref[0, 0]  # [S]
-        seg_mask = qseg[:, None] == kseg[None, :]
-        mask = seg_mask if mask is None else jnp.logical_and(mask, seg_mask)
-    if mask is not None:
-        s = jnp.where(mask, s, _NEG_INF)
+    for qi in range(q_ref.shape[2] // block_q):
+        # static k/v extent: causal row block qi only attends to keys < bound
+        bound = (qi + 1) * block_q if causal else s_kv
+        sl = pl.ds(qi * block_q, block_q)  # pl.ds: a python slice on a ref
+        # lowers to an unsupported gather on the TPU path
+        s = jax.lax.dot_general(
+            q_ref[0, 0, sl], k[:bound], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bound]
 
-    m = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
-    # rows that are fully masked (can happen with segment padding) -> zero output
-    m_safe = jnp.maximum(m, -0.5e30)
-    p = jnp.exp(s - m_safe)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    l_safe = jnp.maximum(l, 1e-30)
-    o = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, 0], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # normalization deferred to the [bq, D] output â€” 12x fewer elements than
-    # dividing the [bq, S] probability block (the kernel is VPU-bound)
-    o_ref[0, 0] = (o / l_safe).astype(o_ref.dtype)
-    lse_ref[0, 0] = m_safe + jnp.log(l_safe)  # [bq, 1]
+        mask = None
+        if causal:
+            mask = _causal_mask(qi, block_q, bound)
+        if use_segs:
+            qseg = qseg_ref[0, 0, sl]  # [bq]
+            kseg_b = kseg_ref[0, 0, pl.ds(0, bound)]  # [bound] (1-D VALUE
+            # slicing lowers to an unsupported >2D gather on the TPU path)
+            seg_mask = qseg[:, None] == kseg_b[None, :]
+            mask = seg_mask if mask is None else jnp.logical_and(mask, seg_mask)
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+
+        m = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        # rows that are fully masked (can happen with segment padding) -> zero output
+        m_safe = jnp.maximum(m, -0.5e30)
+        p = jnp.exp(s - m_safe)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l_safe = jnp.maximum(l, 1e-30)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[:bound], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # normalization deferred to the [bq, D] output â€” 12x fewer elements than
+        # dividing the [bq, S] probability block (the kernel is VPU-bound)
+        o_ref[0, 0, sl] = (o / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0, sl] = m_safe + jnp.log(l_safe)  # [bq, 1]
 
 
 def _fwd(q, k, v, segment_ids, causal, block_q):
     b, hq, s, d = q.shape
     hkv = k.shape[1]
     n_rep = hq // hkv
-    grid = (b, hq, s // block_q)
 
     if segment_ids is None:
         segs = jnp.zeros((b, 1, s), jnp.int32)  # dummy; kernel skips the compare
@@ -126,17 +138,17 @@ def _fwd(q, k, v, segment_ids, causal, block_q):
     )
     o, lse = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b, hq),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi, n_rep=n_rep: (bi, hi // n_rep, 0, 0)),
-            pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi, n_rep=n_rep: (bi, hi // n_rep, 0, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, 0, qi)),
-            pl.BlockSpec((1, 1, s), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi, n_rep=n_rep: (bi, hi // n_rep, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi, n_rep=n_rep: (bi, hi // n_rep, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda bi, hi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda bi, hi: (bi, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s, 1), lambda bi, hi: (bi, hi, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
@@ -166,7 +178,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, o_ref,
         dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
         dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
-    def body(qi, _):
+    for qi in range(n_q_blocks):
+        # static k/v extent (see module docstring): the triangle above the
+        # causal diagonal is never computed, not merely masked
+        bound = (qi + 1) * block_q if causal else s_kv
         sl = pl.ds(qi * block_q, block_q)
         q = q_ref[0, 0, sl]      # [bq, D] bf16 (pre-scaled)
         do = do_ref[0, 0, sl]    # [bq, D]
@@ -177,37 +192,36 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, o_ref,
             o_ref[0, 0, sl].astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
         )  # [bq, 1]
 
-        s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(q, k[:bound], dimension_numbers=(((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         mask = None
         if causal:
-            mask = _causal_mask(qi, block_q, s_kv)
+            mask = _causal_mask(qi, block_q, bound)
         if use_segs:
             qseg = qseg_ref[0, 0, sl]
-            seg_mask = qseg[:, None] == kseg_ref[0, 0][None, :]
+            kseg_b = kseg_ref[0, 0, pl.ds(0, bound)]  # see _fwd_kernel note
+            seg_mask = qseg[:, None] == kseg_b[None, :]
             mask = seg_mask if mask is None else jnp.logical_and(mask, seg_mask)
-        p = jnp.exp(s - lse)  # [bq, S] f32
+        p = jnp.exp(s - lse)  # [bq, bound] f32
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
 
-        dp = jax.lax.dot_general(do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(do, v[:bound], dimension_numbers=(((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)  # [bq, S] f32
+        ds = p * (dp - delta)  # [bq, bound] f32
 
-        dv_ref[0, 0] += jax.lax.dot_general(
+        ksl = pl.ds(0, bound)
+        dv_ref[0, 0, ksl] += jax.lax.dot_general(
             p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dk_ref[0, 0] += jax.lax.dot_general(
+        dk_ref[0, 0, ksl] += jax.lax.dot_general(
             ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dq = jax.lax.dot_general(ds.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+        dq = jax.lax.dot_general(ds.astype(k.dtype), k[:bound], dimension_numbers=(((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dq_ref[0, 0, sl] = dq.astype(dq_ref.dtype)
-        return ()
-
-    jax.lax.fori_loop(0, n_q_blocks, body, ())
 
 
 def _bwd(q, k, v, segment_ids, o, lse, do, causal, block_q):
