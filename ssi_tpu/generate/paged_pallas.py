@@ -6,7 +6,8 @@ attention). This kernel advances one decode token for every slot directly over
 the flat physical page pool (all layers in one array — see
 ssi_tpu/generate/paged.py for the layout argument).
 
-Design (v3 — the measured path to speed-of-light at the serving shape):
+Design (v4 — flat-buffer single-pass softmax; measured path to the HBM
+bandwidth bound at the serving shape):
 
 - **The pool never leaves HBM, and never leaves its buffer.** k/v pools are
   ``memory_space=ANY`` operands aliased input->output; the kernel itself
@@ -17,26 +18,34 @@ Design (v3 — the measured path to speed-of-light at the serving shape):
   at 97% of decode-chunk time — 4x ~340 MB copies per layer per token), and
   a BlockSpec-driven grid of (slots x pages) paid ~1 us of grid machinery per
   128 KB page.
-- grid = (slots,). Each grid step handles one slot: an in-kernel ``fori_loop``
-  walks ONLY the slot's valid history pages (the invalid tail is never
-  fetched — at ragged serving lengths this also cuts KV bandwidth),
-  double-buffering page DMAs (start page i+1, wait page i, fold page i). The
-  page table, lengths, and write positions are scalar-prefetch operands
-  (SMEM), so DMA indices are data-dependent.
-- **The incoming token folds from registers**: its logit/value contribution is
-  added to the flash statistics directly, so the kernel never reads the cell
-  it just wrote — there is no read-after-write ordering between the token
-  write and the page reads (the write only has to land before the NEXT
-  decode step, guaranteed by the trailing wait).
-- Per page, keys/values fold into flash-style running statistics (row max
-  ``m``, normalizer ``l``, accumulator ``acc``) in VMEM scratch — the
-  gathered [slots, max_context] view is never materialized.
+- grid = (slots,). Each slot's valid history pages are DMA'd into ONE flat
+  contiguous VMEM buffer ([max_pages*ps, Hkv*hd]), then attention runs as a
+  SINGLE exact softmax: one q2@K^T dot over the whole buffer, one masked exp
+  pass, one P@V dot. The v3 kernel folded page-by-page with online-softmax
+  rescaling; its loop-carried m/l/acc dependency chain (not DMA latency —
+  deeper prefetch measured flat) kept it at ~2x the bandwidth bound.
+  Invalid-tail positions are masked to -inf before the max, so buffer lanes
+  beyond ``hist_len`` (stale data from earlier slots) never contribute.
+- **Cross-slot double buffering**: while slot b computes from buffer b%2,
+  slot b+1's page DMAs (issued by program b — the page table is a
+  scalar-prefetch operand, so any slot's pages are addressable from any
+  program) stream into buffer (b+1)%2. Grid steps execute sequentially on
+  the core, so this pipelines DMA behind compute exactly. When the flat
+  buffers would exceed the VMEM budget (long max_context), the kernel drops
+  to a single buffer (own-slot DMAs issued at program entry) — contexts long
+  enough to break THAT (> ~4k tokens/slot) cannot fit the HBM pool at
+  serving slot counts anyway.
+- **The incoming token folds from registers**: its logit/value contribution
+  joins the single softmax directly, so the kernel never reads the cell it
+  just wrote — there is no read-after-write ordering between the token write
+  and the page reads (the write only has to land before the NEXT decode
+  step, guaranteed by the trailing wait).
 - Pages are stored/DMA'd as ``[ps, Hkv*hd]`` 2D tiles (128-lane aligned;
   Mosaic rejects 64-lane DMA slices). Grouped-query attention runs as ONE MXU
-  matmul per page via a block-diagonal trick: each q head's hd lanes sit at
-  its kv head's stripe of a [Hq, Hkv*hd] matrix (zeros elsewhere, built
-  OUTSIDE the kernel in XLA — integer iota/mod work is expensive on the
-  VPU), so ``q2 @ page^T`` yields exactly the per-head logits. The PV product
+  matmul via a block-diagonal trick: each q head's hd lanes sit at its kv
+  head's stripe of a [Hq, Hkv*hd] matrix (zeros elsewhere, built OUTSIDE the
+  kernel in XLA — integer iota/mod work is expensive on the VPU), so
+  ``q2 @ K^T`` yields exactly the per-head logits. The PV product
   accumulates in [Hq, Hkv*hd] stripe space; the fold back to [Hq, hd]
   happens ONCE at finalize via a constant 0/1 tiling matrix (Mosaic rejects
   3D<->2D vector shape casts).
@@ -45,9 +54,11 @@ Design (v3 — the measured path to speed-of-light at the serving shape):
   neither seeds aliased output buffers nor supports read-modify-write DMA
   into untouched ANY outputs.
 
-Numerics: q/k/v are upcast to f32 inside the kernel; softmax statistics and the
-accumulator are f32 — matching the gather path's f32 softmax to within reduction
-order (parity: tests/test_paged_decode.py::test_pallas_kernel_parity_interpret).
+Numerics: matmul operands are bf16 (pool dtype) with f32 accumulation — the
+same MXU discipline as the training flash kernels (an f32xf32 dot runs the MXU
+at 1/4 rate); the softmax statistics are f32. The interpret path keeps full-f32
+operands to stay bit-comparable with the gather reference
+(parity: tests/test_paged_decode.py::test_pallas_kernel_parity_interpret).
 """
 
 from __future__ import annotations
@@ -61,10 +72,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
 
-N_BUFFERS = 2
-
 # token-write RMW window: DMA slices along the in-page dim must be 8-aligned
 WRITE_WIN = 8
+
+# VMEM budget for the flat page buffers (k + v, all ring buffers together);
+# above it the cross-slot double buffer degrades to a single buffer
+_FLAT_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _kernel(
@@ -84,11 +97,10 @@ def _kernel(
     out_ref,         # [1, Hq, hd] VMEM
     k_out,           # ANY — same buffer as k_hbm via input_output_aliases
     v_out,           #       (interpret: separate whole-array VMEM ref)
-    # scratch
-    kbuf, vbuf,      # [N_BUFFERS, ps, Hkv*hd] VMEM
+    # scratch (TPU path only carries the flat ring + RMW window)
+    kbuf, vbuf,      # [n_buf, max_pages*ps, Hkv*hd] VMEM flat page buffers
     wbuf_k, wbuf_v,  # [WRITE_WIN, Hkv*hd] VMEM — aligned window for the token RMW
-    m_ref, l_ref, acc_ref,
-    sems,            # DMA semaphores [2, N_BUFFERS]
+    sems,            # DMA semaphores [2, n_buf, max_pages]
     wsems,           # DMA semaphores [2] for the token write
     *,
     ps: int,
@@ -96,6 +108,7 @@ def _kernel(
     interpret: bool,
 ):
     b = pl.program_id(0)
+    n_slots = pl.num_programs(0)
     seq_len = seq_lens_ref[b]          # INCLUDING the incoming token
     hist_len = seq_len - 1             # tokens already resident in pages
     n_valid = (hist_len + ps - 1) // ps
@@ -103,6 +116,7 @@ def _kernel(
     row = write_rows_ref[b]
     off = write_offs_ref[b]
 
+    # ---- token write + history fetch ---------------------------------------------
     if interpret:
         # plain-refs mode: copy the carried pools through, then store the token
         @pl.when(b == 0)
@@ -113,19 +127,133 @@ def _kernel(
         k_out[row, pl.ds(off, 1)] = knew_ref[0]
         v_out[row, pl.ds(off, 1)] = vnew_ref[0]
     else:
-        # DMA slices along the in-page (sublane) dim must be 8-row aligned
-        # (Mosaic HBM memref tiling), so the 1-row token write is a
-        # read-modify-write of the aligned 8-row window: fetch it, overwrite
-        # our row in VMEM, write it back. Neighbor rows are either earlier
-        # tokens (stable — written by earlier decode steps) or not-yet-valid
-        # cells, so writing back what was read is a no-op. The shared trash
-        # page can be RMW-raced by inactive slots; its content is garbage by
-        # definition.
+        n_buf = kbuf.shape[0]
+        cur = jax.lax.rem(b, n_buf)
+
+        def issue_slot(s, buf):
+            """Start page DMAs for slot ``s`` into ring buffer ``buf``."""
+            nv = (seq_lens_ref[s] - 1 + ps - 1) // ps
+
+            def go(i, _):
+                page = page_table_ref[s, i]
+                pltpu.make_async_copy(
+                    k_hbm.at[page], kbuf.at[buf, pl.ds(i * ps, ps)], sems.at[0, buf, i]
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[page], vbuf.at[buf, pl.ds(i * ps, ps)], sems.at[1, buf, i]
+                ).start()
+                return 0
+
+            jax.lax.fori_loop(0, nv, go, 0)
+
+        @pl.when(b == 0)
+        def _first():
+            # stale ring lanes are masked before the softmax max, but masked
+            # P lanes still multiply V lanes in the MXU — 0 * NaN would poison
+            # the accumulator, so the very first program clears the
+            # (uninitialized) ring once; afterwards stale lanes are earlier
+            # slots' finite reals
+            kbuf[...] = jnp.zeros_like(kbuf)
+            vbuf[...] = jnp.zeros_like(vbuf)
+            issue_slot(0, 0)
+
+        # token-write RMW reads start now; the modify/write-back happens after
+        # the attention dots so the read latency hides behind real work. DMA
+        # slices along the in-page (sublane) dim must be 8-row aligned (Mosaic
+        # HBM memref tiling), so the 1-row token write is a read-modify-write
+        # of the aligned 8-row window. Neighbor rows are earlier tokens
+        # (stable) or not-yet-valid cells, so writing back what was read is a
+        # no-op; the shared trash page can be RMW-raced by inactive slots —
+        # its content is garbage by definition.
         win = (off // WRITE_WIN) * WRITE_WIN
         rk = pltpu.make_async_copy(k_hbm.at[row, pl.ds(win, WRITE_WIN)], wbuf_k, wsems.at[0])
         rv = pltpu.make_async_copy(v_hbm.at[row, pl.ds(win, WRITE_WIN)], wbuf_v, wsems.at[1])
         rk.start()
         rv.start()
+
+        if n_buf > 1:
+            # cross-slot pipelining: put the NEXT slot's pages in flight
+            # before waiting on our own
+            @pl.when(b + 1 < n_slots)
+            def _prefetch_next():
+                issue_slot(b + 1, jax.lax.rem(b + 1, n_buf))
+
+        def wait_one(i, _):
+            sems_wait_k = pltpu.make_async_copy(
+                k_hbm.at[page_table_ref[b, i]], kbuf.at[cur, pl.ds(i * ps, ps)], sems.at[0, cur, i]
+            )
+            sems_wait_v = pltpu.make_async_copy(
+                v_hbm.at[page_table_ref[b, i]], vbuf.at[cur, pl.ds(i * ps, ps)], sems.at[1, cur, i]
+            )
+            sems_wait_k.wait()
+            sems_wait_v.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_valid, wait_one, 0)
+
+    # ---- single-pass exact softmax over the flat buffer --------------------------
+    if interpret:
+        # online fold per page (value-carried, full f32 — matches the gather
+        # reference bit-for-bit up to reduction order)
+        q2 = q2_ref[0].astype(jnp.float32)
+        m0 = jnp.full((hq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((hq, 1), jnp.float32)
+        a0 = jnp.zeros((hq, q2.shape[1]), jnp.float32)
+
+        def body(i, carry):
+            m_prev, l_prev, acc = carry
+            page = page_table_ref[b, i]
+            k = k_out[page].astype(jnp.float32)
+            v = v_out[page].astype(jnp.float32)
+            s = jax.lax.dot_general(q2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, (hq, ps), 1)
+            s = jnp.where(pos < hist_len, s, NEG_INF)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+            return m_new, l_new, acc
+
+        m_hist, l_hist, acc = jax.lax.fori_loop(0, n_valid, body, (m0, l0, a0))
+
+        kn = knew_ref[0].astype(jnp.float32)
+        vn = vnew_ref[0].astype(jnp.float32)
+        s_cur = jax.lax.dot_general(q2, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        m_fin = jnp.maximum(m_hist, s_cur)
+        alpha = jnp.exp(m_hist - m_fin)
+        p_cur = jnp.exp(s_cur - m_fin)
+        l_fin = l_hist * alpha + p_cur
+        acc_fin = acc * alpha + p_cur * vn
+    else:
+        q2 = q2_ref[0].astype(k_hbm.dtype)  # bf16 MXU operands, f32 accumulation
+        k_flat = kbuf[cur]                  # [T, kvd] pool dtype
+        v_flat = vbuf[cur]
+        t = k_flat.shape[0]
+        s = jax.lax.dot_general(
+            q2, k_flat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Hq, T]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (hq, t), 1)
+        s = jnp.where(pos < hist_len, s, NEG_INF)
+
+        kn = knew_ref[0].astype(jnp.float32)    # [1, kvd]
+        vn = vnew_ref[0].astype(jnp.float32)
+        # VPU multiply-reduce: an N=1 bf16 dot trips a Mosaic broadcast
+        # verification bug, and [32, 512] elementwise work is trivial anyway
+        s_cur = jnp.sum(q2.astype(jnp.float32) * kn, axis=1, keepdims=True)  # [Hq, 1]
+
+        m_fin = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_cur)  # [Hq, 1]
+        p = jnp.exp(s - m_fin)                  # [Hq, T]; masked lanes exp(-1e30)=0
+        p_cur = jnp.exp(s_cur - m_fin)          # [Hq, 1]
+        l_fin = jnp.sum(p, axis=1, keepdims=True) + p_cur
+        acc_fin = jax.lax.dot_general(
+            p.astype(v_flat.dtype), v_flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + p_cur * vn
+
+    # ---- token-write RMW tail (starts before the output fold so the write
+    # latency overlaps the remaining compute) -------------------------------------
+    if not interpret:
         rk.wait()
         rv.wait()
         lane = jax.lax.broadcasted_iota(jnp.int32, (WRITE_WIN, knew_ref.shape[2]), 0)
@@ -136,73 +264,6 @@ def _kernel(
         wv = pltpu.make_async_copy(wbuf_v, v_out.at[row, pl.ds(win, WRITE_WIN)], wsems.at[1])
         wk.start()
         wv.start()
-
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    q2 = q2_ref[0].astype(jnp.float32)  # [Hq, Hkv*hd]
-
-    def fold_page(i, k, v):
-        # k/v: [ps, Hkv*hd] f32. Zero stripes in q2 kill cross-head terms.
-        s = jax.lax.dot_general(q2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, (hq, ps), 1)
-        s = jnp.where(pos < hist_len, s, NEG_INF)  # the incoming token folds from registers
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)              # [Hq, ps]
-        l_ref[:, :1] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:, :1] = m_new
-        # accumulate in stripe space; rows' off-stripe lanes carry garbage
-        # that the finalize fold masks away
-        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-
-    if interpret:
-        def body(i, _):
-            page = page_table_ref[b, i]
-            fold_page(i, k_out[page].astype(jnp.float32), v_out[page].astype(jnp.float32))
-            return 0
-
-        jax.lax.fori_loop(0, n_valid, body, 0)
-    else:
-        def dma_k(i, slot):
-            return pltpu.make_async_copy(k_hbm.at[page_table_ref[b, i]], kbuf.at[slot], sems.at[0, slot])
-
-        def dma_v(i, slot):
-            return pltpu.make_async_copy(v_hbm.at[page_table_ref[b, i]], vbuf.at[slot], sems.at[1, slot])
-
-        @pl.when(n_valid > 0)
-        def _warmup():
-            dma_k(0, 0).start()
-            dma_v(0, 0).start()
-
-        def body(i, _):
-            slot = jax.lax.rem(i, N_BUFFERS)
-
-            @pl.when(i + 1 < n_valid)
-            def _prefetch():
-                nxt = jax.lax.rem(i + 1, N_BUFFERS)
-                dma_k(i + 1, nxt).start()
-                dma_v(i + 1, nxt).start()
-
-            dma_k(i, slot).wait()
-            dma_v(i, slot).wait()
-            fold_page(i, kbuf[slot].astype(jnp.float32), vbuf[slot].astype(jnp.float32))
-            return 0
-
-        jax.lax.fori_loop(0, n_valid, body, 0)
-
-    # fold the incoming token (always attended — it is position seq_len-1)
-    kn = knew_ref[0].astype(jnp.float32)    # [1, Hkv*hd]
-    vn = vnew_ref[0].astype(jnp.float32)
-    s_cur = jax.lax.dot_general(q2, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [Hq, 1]
-    m_prev = m_ref[:, :1]
-    m_new = jnp.maximum(m_prev, s_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p_cur = jnp.exp(s_cur - m_new)          # [Hq, 1]
-    l_fin = l_ref[:, :1] * alpha + p_cur
-    acc_fin = acc_ref[:] * alpha + p_cur * vn  # [Hq, 1] * [1, kvd]
 
     l = jnp.maximum(l_fin, 1e-30)
     masked = acc_fin * stripe_ref[:] / l         # [Hq, Hkv*hd]
@@ -245,6 +306,7 @@ def paged_attention_pallas(
     n_rows, ps, kvd = k_pool.shape
     hkv = kvd // hd
     n_rep = hq // hkv
+    max_pages = page_table.shape[1]
     if ps % WRITE_WIN != 0:
         # The token write is an 8-row RMW window (Mosaic sublane alignment); a
         # page smaller than / not divisible by the window would DMA past the
@@ -266,6 +328,17 @@ def paged_attention_pallas(
     kn = k_new.astype(k_pool.dtype).reshape(n_slots, 1, kvd)
     vn = v_new.astype(v_pool.dtype).reshape(n_slots, 1, kvd)
     write_offs = (seq_lens - 1) % ps
+
+    # flat ring sizing: double-buffer (cross-slot DMA/compute overlap) inside
+    # the VMEM budget, single otherwise (see module docstring)
+    flat_tokens = max_pages * ps
+    per_buf_bytes = 2 * flat_tokens * kvd * k_pool.dtype.itemsize  # k + v
+    n_buf = 2 if 2 * per_buf_bytes <= _FLAT_VMEM_BUDGET else 1
+    if n_buf * per_buf_bytes > 2 * _FLAT_VMEM_BUDGET:
+        raise ValueError(
+            f"max_context ({flat_tokens} tokens/slot) exceeds the flat-buffer VMEM "
+            f"budget; shrink max_context or page the kernel"
+        )
 
     if interpret:
         pool_in_spec = pl.BlockSpec((n_rows, ps, kvd), lambda b, *_: (0, 0, 0))
@@ -296,14 +369,11 @@ def paged_attention_pallas(
             pool_out_spec,
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_BUFFERS, ps, kvd), k_pool.dtype),
-            pltpu.VMEM((N_BUFFERS, ps, kvd), v_pool.dtype),
+            pltpu.VMEM((n_buf, flat_tokens, kvd), k_pool.dtype),
+            pltpu.VMEM((n_buf, flat_tokens, kvd), v_pool.dtype),
             pltpu.VMEM((WRITE_WIN, kvd), k_pool.dtype),
             pltpu.VMEM((WRITE_WIN, kvd), v_pool.dtype),
-            pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.VMEM((hq, kvd), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, N_BUFFERS)),
+            pltpu.SemaphoreType.DMA((2, n_buf, max_pages)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
