@@ -237,6 +237,7 @@ def prefill_prompts(
     page_ids: jnp.ndarray,
     *,
     n_pages: int,
+    attn_impl: str = "gather",
 ) -> dict[str, Any]:
     """Prefill a BATCH of prompts into their pages (K/V write only — no logits).
 
@@ -265,6 +266,16 @@ def prefill_prompts(
     h = params["embed"][tokens]  # [B, P, D]
     kp, vp = pools["k"], pools["v"]
 
+    if attn_impl == "pallas":
+        # the training flash kernel in inference mode: triangle-blocked causal
+        # attention with GQA, no [B, H, P, P] f32 logits in HBM (the gather
+        # path materializes ~600 MB of them per group-8/bucket-768 dispatch)
+        from ssi_tpu.ops.flash_attention import flash_attention
+
+        attn_fn = lambda q, k, v: flash_attention(q, k, v, causal=True)
+    else:
+        attn_fn = prefill_attention
+
     def body(carry, layer):
         h, kp, vp, l = carry
         x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
@@ -273,7 +284,7 @@ def prefill_prompts(
         v = _mm(x, layer["wv"]).reshape(b, p, cfg.num_kv_heads, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = prefill_attention(q, k, v)
+        attn = attn_fn(q, k, v)
         h = h + _mm(attn.reshape(b, p, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
         x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
         h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])

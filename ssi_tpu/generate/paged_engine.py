@@ -31,6 +31,7 @@ tests/test_paged_decode.py.
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -151,6 +152,9 @@ class PagedDecodeEngine:
         self._page_table = np.zeros((n_slots, self.max_pages_per_seq), np.int32)
         self._prefill_cache: dict[tuple[int, int], Any] = {}
         self._chunk_fn_cache: dict[Any, Any] = {}
+        # per-call scheduler/throughput counters (vLLM exposes the analogous
+        # Stats object); refreshed by every generate_batch, cheap host ints only
+        self.last_stats: dict[str, Any] = {}
 
     # --- compiled programs -------------------------------------------------------
 
@@ -164,9 +168,12 @@ class PagedDecodeEngine:
         if key not in self._prefill_cache:
             cfg = self.cfg
             n_pages = self.n_pages
+            attn_impl = self.attn_impl
 
             def prefill(params, pools, tokens, page_ids):
-                return prefill_prompts(params, tokens, cfg, pools, page_ids, n_pages=n_pages)
+                return prefill_prompts(
+                    params, tokens, cfg, pools, page_ids, n_pages=n_pages, attn_impl=attn_impl
+                )
 
             self._prefill_cache[key] = jax.jit(prefill, donate_argnums=(1,))
         return self._prefill_cache[key]
@@ -182,8 +189,26 @@ class PagedDecodeEngine:
 
         n_pages = self.n_pages
 
-        def chunk(params, pools, page_table, seq_lens, tok, active, done, budget,
-                  out_counts, prompt_counts, prompt_lens, key):
+        # ONE packed int32 control array per dispatch carries every host-owned
+        # scalar column + the page table: [active | admit | admit_seq_len |
+        # admit_tok | admit_budget | prompt_len | page_table...]. Admissions
+        # are applied INSIDE the compiled program via where-selects — the old
+        # scheme of 5 tiny `.at[].set` device dispatches per admitted slot put
+        # ~500 extra dispatches (~1 s of host-blocking time at the serving
+        # shape, measured by tools/analyze_decode.py) through the tunnel.
+        def chunk(params, pools, control, seq_lens, tok, done, budget,
+                  out_counts, prompt_counts, key):
+            active = control[:, 0] != 0
+            admit = control[:, 1] != 0
+            seq_lens = jnp.where(admit, control[:, 2], seq_lens)
+            tok = jnp.where(admit, control[:, 3], tok)
+            budget = jnp.where(admit, control[:, 4], budget)
+            prompt_lens = control[:, 5]
+            done = jnp.where(admit, False, done)
+            if sp.uses_penalties:
+                out_counts = jnp.where(admit[:, None], 0.0, out_counts)
+            page_table = control[:, 6:]
+
             def step(carry, _):
                 pools, seq_lens, tok, done, budget, out_counts, key, clp = carry
                 advance = jnp.logical_and(active, jnp.logical_not(done))
@@ -325,19 +350,43 @@ class PagedDecodeEngine:
         results: dict[int, dict[str, Any]] = {}
         n_total = len(queue)
         use_pen = sp.uses_penalties
+        stats = self.last_stats = {
+            "chunk_dispatches": 0,
+            "slot_chunks": 0,          # sum over dispatches of runnable slots
+            "prefill_dispatches": 0,
+            "prefill_rows": 0,
+            "prefill_token_area": 0,   # sum of group * bucket (padded work)
+            "prompt_tokens": sum(len(p) for p in prompts),
+            "tokens_out": 0,
+            "preemptions": 0,
+            "dispatch_block_s": 0.0,   # host-blocking part of async chunk dispatches
+            "prefill_block_s": 0.0,
+            "harvest_block_s": 0.0,    # blocked in device_get for chunk results
+            "wall_s": 0.0,
+        }
+        t_start = time.perf_counter()
 
-        # device-resident slot state. Admission seeds a slot at seq_len = p - 1
-        # with tok = prompt[-1]: the first chunk step recomputes the last prompt
-        # position's K/V in place (same math as the prefill, one redundant token
-        # of work) and samples the first output ON DEVICE — admission itself
-        # performs zero host<->device round trips, which matters enormously
-        # through the axon tunnel (~100 ms per sync).
+        # Device-resident slot state (seq_lens/tok/done/budget/out_counts ride
+        # the chunk program); everything the HOST owns — active flags, pending
+        # admission overrides, prompt lengths, page table — travels as columns
+        # of ONE packed int32 control array per dispatch. Admission seeds a
+        # slot at seq_len = p - 1 with tok = prompt[-1]: the first chunk step
+        # recomputes the last prompt position's K/V in place (same math as the
+        # prefill, one redundant token of work) and samples the first output ON
+        # DEVICE — admission performs zero host<->device round trips, which
+        # matters enormously through the axon tunnel (~100 ms per sync).
         seq_lens = jnp.zeros((self.n_slots,), jnp.int32)
         tok = jnp.full((self.n_slots,), self.pad_id, jnp.int32)
         active = np.zeros((self.n_slots,), bool)
         done = jnp.zeros((self.n_slots,), bool)
         budget = jnp.zeros((self.n_slots,), jnp.int32)
-        prompt_lens = jnp.zeros((self.n_slots,), jnp.int32)
+        # host-owned control columns (see _chunk_fn): admissions accumulate
+        # here and are consumed by the next dispatched chunk
+        admit_h = np.zeros((self.n_slots,), np.int32)
+        admit_seq_h = np.zeros((self.n_slots,), np.int32)
+        admit_tok_h = np.zeros((self.n_slots,), np.int32)
+        admit_budget_h = np.zeros((self.n_slots,), np.int32)
+        prompt_lens_h = np.zeros((self.n_slots,), np.int32)
         v = self.cfg.vocab_size
         out_counts = jnp.zeros((self.n_slots, v) if use_pen else (1, 1), jnp.float32)
         prompt_counts_h = np.zeros((self.n_slots, v) if use_pen else (1, 1), np.float32)
@@ -346,9 +395,10 @@ class PagedDecodeEngine:
         chunk_fn = self._chunk_fn(sp)
 
         def admit_slot(slot_id: int) -> tuple[int, int] | None:
-            """Claim pages + host/device slot state; returns (slot_id, bucket)
-            for the batched prefill pass, or None when the pool is tight."""
-            nonlocal seq_lens, tok, done, budget, prompt_lens, out_counts
+            """Claim pages + host slot state; returns (slot_id, bucket) for the
+            batched prefill pass, or None when the pool is tight. Pure host
+            bookkeeping: the admission override rides the next dispatched
+            chunk's control array (no device ops here)."""
             req = queue[0]
             p = len(req.prompt)
             p_bucket = _round_up(p, self.prompt_bucket)
@@ -369,14 +419,13 @@ class PagedDecodeEngine:
                 cnt = np.zeros((v,), np.float32)
                 np.add.at(cnt, req.prompt, 1.0)
                 prompt_counts_h[slot_id] = cnt
-                out_counts = out_counts.at[slot_id].set(0.0)
 
             active[slot_id] = True
-            seq_lens = seq_lens.at[slot_id].set(p - 1)
-            tok = tok.at[slot_id].set(req.prompt[-1])
-            done = done.at[slot_id].set(False)
-            budget = budget.at[slot_id].set(sp.max_tokens)
-            prompt_lens = prompt_lens.at[slot_id].set(p)
+            admit_h[slot_id] = 1
+            admit_seq_h[slot_id] = p - 1
+            admit_tok_h[slot_id] = req.prompt[-1]
+            admit_budget_h[slot_id] = sp.max_tokens
+            prompt_lens_h[slot_id] = p
             return slot_id, p_bucket
 
         def prefill_admitted(admitted: list[tuple[int, int]]) -> None:
@@ -396,9 +445,14 @@ class PagedDecodeEngine:
                     tokens[r, : len(s.req.prompt)] = s.req.prompt
                     own_n = own_bucket // self.page_size
                     page_ids[r, :own_n] = self._page_table[slot_id, :own_n]
+                t0 = time.perf_counter()
                 self.pools = self._prefill_fn(bucket, g)(
                     self.params, self.pools, jnp.asarray(tokens), jnp.asarray(page_ids)
                 )
+                stats["prefill_block_s"] += time.perf_counter() - t0
+                stats["prefill_dispatches"] += 1
+                stats["prefill_rows"] += len(batch)
+                stats["prefill_token_area"] += g * bucket
 
         def collect(slot_id: int):
             slot = self._slots[slot_id]
@@ -437,7 +491,9 @@ class PagedDecodeEngine:
                 harvest_oldest()
 
         def harvest(p: dict) -> None:
+            t0 = time.perf_counter()
             packed = np.asarray(jax.device_get(p["packed"]))
+            stats["harvest_block_s"] += time.perf_counter() - t0
             chunk = packed.shape[1] - 3
             emitted_h = packed[:, :chunk]
             done_h = packed[:, chunk] != 0
@@ -453,6 +509,7 @@ class PagedDecodeEngine:
                     s.req.out.extend(int(t) for t in emitted_h[slot_id, :n_new])
                     s.req.clp += float(clp_h[slot_id])
                     s.n_out += n_new
+                    stats["tokens_out"] += n_new
                 if bool(done_h[slot_id]):
                     s.done = True
                     collect(slot_id)
@@ -531,7 +588,9 @@ class PagedDecodeEngine:
                         victim = self._preempt_youngest(queue)
                         if victim is None:
                             raise RuntimeError("KV page pool exhausted and nothing to preempt")
+                        stats["preemptions"] += 1
                         active[victim] = False  # stop the decode mask advancing a freed slot
+                        admit_h[victim] = 0  # drop any not-yet-dispatched admission override
                         if self._slots[slot_id].req is None:  # we preempted ourselves
                             # let the surviving slots make progress before this
                             # request is re-admitted, or the cycle never dispatches
@@ -547,13 +606,27 @@ class PagedDecodeEngine:
                 runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
                 if not runnable:
                     continue
-                pt_dev = jnp.asarray(self._page_table)
-                pc_dev = jnp.asarray(prompt_counts_h) if use_pen else jnp.zeros((1, 1), jnp.float32)
-                act_dev = jnp.asarray(active)
-                (self.pools, seq_lens, tok, done, budget, out_counts, key, packed) = chunk_fn(
-                    self.params, self.pools, pt_dev, seq_lens, tok, act_dev, done, budget,
-                    out_counts, pc_dev, prompt_lens, key,
+                t0 = time.perf_counter()
+                control = np.concatenate(
+                    [
+                        np.stack(
+                            [active.astype(np.int32), admit_h, admit_seq_h,
+                             admit_tok_h, admit_budget_h, prompt_lens_h],
+                            axis=1,
+                        ),
+                        self._page_table,
+                    ],
+                    axis=1,
                 )
+                pc_dev = jnp.asarray(prompt_counts_h) if use_pen else jnp.zeros((1, 1), jnp.float32)
+                (self.pools, seq_lens, tok, done, budget, out_counts, key, packed) = chunk_fn(
+                    self.params, self.pools, jnp.asarray(control), seq_lens, tok, done, budget,
+                    out_counts, pc_dev, key,
+                )
+                admit_h[:] = 0  # consumed by this dispatch
+                stats["dispatch_block_s"] += time.perf_counter() - t0
+                stats["chunk_dispatches"] += 1
+                stats["slot_chunks"] += len(runnable)
                 suspend_admission = False  # a chunk dispatched: progress is real
                 packed.copy_to_host_async()  # ONE transfer request now (the old
                 # 4-array layout made this a loss: four extra per-chunk requests
@@ -571,6 +644,9 @@ class PagedDecodeEngine:
 
             # Any still-in-flight chunk holds only idle slots (done latched on
             # device): every request is collected, nothing left to harvest.
+            stats["wall_s"] = time.perf_counter() - t_start
+            cap = stats["chunk_dispatches"] * self.n_slots * self.chunk
+            stats["slot_occupancy"] = stats["tokens_out"] / cap if cap else 0.0
             return [results[i] for i in range(n_total)]
         except BaseException:
             # Release every claimed slot/page so the engine survives a failed

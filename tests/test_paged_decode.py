@@ -324,3 +324,47 @@ def test_exception_mid_run_releases_pool(setup):
     engine._chunk_fn = orig
     again = engine.generate_batch(prompts, sp)
     assert [o["token_ids"] for o in again] == [o["token_ids"] for o in expected]
+
+
+def test_flash_prefill_parity_interpret(setup):
+    """prefill_prompts with the flash kernel (interpret) writes the same pages
+    as the XLA gather path — the TPU engine prefills through flash_attention."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ssi_tpu.generate.paged import init_pools, prefill_prompts
+
+    cfg, params = setup
+    rng = np.random.default_rng(5)
+    ps, n_pages, bucket, g = 8, 16, 16, 2
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (g, bucket)), jnp.int32)
+    page_ids = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+
+    ref = prefill_prompts(
+        params, tokens, cfg, init_pools(cfg, n_pages, ps, dtype=jnp.float32),
+        page_ids, n_pages=n_pages, attn_impl="gather",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = prefill_prompts(
+            params, tokens, cfg, init_pools(cfg, n_pages, ps, dtype=jnp.float32),
+            page_ids, n_pages=n_pages, attn_impl="pallas",
+        )
+    np.testing.assert_allclose(np.asarray(got["k"]), np.asarray(ref["k"]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got["v"]), np.asarray(ref["v"]), rtol=2e-5, atol=2e-5)
+
+
+def test_last_stats_contract(setup):
+    """generate_batch refreshes last_stats with a consistent accounting of the
+    run: every generated token harvested, occupancy in (0, 1], dispatch counts."""
+    cfg, params = setup
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 11, 17, 3, 9, 14]]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    outs = engine.generate_batch(prompts, sp)
+    s = engine.last_stats
+    assert s["tokens_out"] == sum(len(o["token_ids"]) for o in outs)
+    assert s["prompt_tokens"] == sum(len(p) for p in prompts)
+    assert s["prefill_rows"] == len(prompts)
+    assert s["chunk_dispatches"] > 0 and 0.0 < s["slot_occupancy"] <= 1.0
+    assert s["preemptions"] == 0
+    assert s["wall_s"] >= s["harvest_block_s"] >= 0.0
