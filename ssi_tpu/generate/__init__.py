@@ -48,8 +48,13 @@ def validate_generate_config(cfg: Any) -> None:
     missing = missing_keys(cfg)
     if missing:
         raise ValueError(f"Missing keys in config: {missing}")
-    if cfg.sampling_params.n != 1:
-        raise NotImplementedError("Sampling multiple sequences per prompt (sampling_params.n > 1) is not supported.")
+    n = int(cfg.sampling_params.get("n", 1))
+    if n < 1:
+        raise ValueError(f"sampling_params.n must be >= 1 (got {n})")
+    if n != 1 and str(cfg.get("engine", "paged")) != "paged":
+        raise ValueError(
+            "sampling_params.n > 1 requires engine=paged (the dense engine decodes one sequence per prompt)"
+        )
 
 
 def run_generation(cfg: Any) -> Path:
@@ -159,12 +164,12 @@ def run_generation(cfg: Any) -> Path:
             key, sub = jax.random.split(key)
             outs = engine.generate_batch(prompts, sp, key=sub)
             dt = time.perf_counter() - t0
-            gen_tokens = sum(len(o["token_ids"]) for o in outs[:real])
+            gen_tokens = sum(len(o["token_ids"]) for o in outs[: real * sp.n])
 
             for i in range(real):
-                out = outs[i]
-                text = tokenizer.decode(list(out["token_ids"]), **decoding)
-                stop_reason = out["stop_reason"]
+                # the paged engine returns prompt-major / sequence-minor when
+                # sampling_params.n > 1 (vLLM: one record, n entries in outputs)
+                seq_outs = outs[i * sp.n : (i + 1) * sp.n]
                 record = {
                     "request_id": str(request_id),
                     "prompt": tokenizer.decode(list(prompts[i]), **decoding),
@@ -172,15 +177,17 @@ def run_generation(cfg: Any) -> Path:
                     "finished": True,
                     "outputs": [
                         {
-                            "index": 0,
-                            "text": text,
+                            "index": j,
+                            "text": tokenizer.decode(list(out["token_ids"]), **decoding),
                             "token_ids": list(map(int, out["token_ids"])),
                             "cumulative_logprob": out.get("cumulative_logprob"),
                             "logprobs": None,
                             "finish_reason": out["finish_reason"],
-                            "stop_reason": int(stop_reason) if stop_reason is not None else None,
-                            "stop_reason_text": special_int2str.get(stop_reason) if stop_reason is not None else None,
+                            "stop_reason": int(out["stop_reason"]) if out["stop_reason"] is not None else None,
+                            "stop_reason_text": special_int2str.get(out["stop_reason"])
+                            if out["stop_reason"] is not None else None,
                         }
+                        for j, out in enumerate(seq_outs)
                     ],
                 }
                 if observability:

@@ -54,12 +54,8 @@ class SamplingParams:
 
     @classmethod
     def from_cfg(cls, node: Any, stop_token_ids: list[int]) -> "SamplingParams":
-        if int(node.get("n", 1)) != 1:
-            raise NotImplementedError(
-                "Sampling multiple sequences per prompt (sampling_params.n > 1) is not supported."
-            )
         return cls(
-            n=1,
+            n=int(node.get("n", 1)),
             temperature=float(node.get("temperature", 0.0)),
             top_p=float(node.get("top_p", 1.0)),
             top_k=int(node.get("top_k", -1)),
@@ -212,6 +208,10 @@ class DecodeEngine:
         self, prompts: list[list[int]], sp: SamplingParams, key: jax.Array | None = None
     ) -> list[dict[str, Any]]:
         """Generate for a batch of ragged prompts; returns vLLM-shaped dicts."""
+        if sp.n != 1:
+            raise ValueError(
+                "DecodeEngine decodes one sequence per prompt; use PagedDecodeEngine for sampling_params.n > 1"
+            )
         b = len(prompts)
         max_len = max(len(t) for t in prompts)
         p = _round_up(max_len, self.prompt_bucket)

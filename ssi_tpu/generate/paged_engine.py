@@ -51,6 +51,7 @@ LOGGER = logging.getLogger(__name__)
 class _Request:
     idx: int                      # position in the caller's prompt list
     prompt: list[int]
+    seq: int = 0                  # sequence index within the prompt (n>1 sampling)
     out: list[int] = field(default_factory=list)
     clp: float = 0.0
     done_reason: str | None = None
@@ -147,6 +148,11 @@ class PagedDecodeEngine:
         cache_dtype = params["embed"].dtype
         self.pools = init_pools(cfg, n_pages, page_size, dtype=cache_dtype)
         self._free_pages: list[int] = list(range(n_pages))
+        # reference counts: n>1 sampling shares a prompt's full read-only pages
+        # across its n sequences (vLLM's parallel-sampling memory sharing);
+        # a page returns to the free list when its last reference drops
+        self._page_refs = np.zeros(n_pages, np.int32)
+        self._copy_fn_cache: dict[int, Any] = {}
         self._slots = [_Slot() for _ in range(n_slots)]
         # host mirrors of device state
         self._page_table = np.zeros((n_slots, self.max_pages_per_seq), np.int32)
@@ -177,6 +183,26 @@ class PagedDecodeEngine:
 
             self._prefill_cache[key] = jax.jit(prefill, donate_argnums=(1,))
         return self._prefill_cache[key]
+
+    def _copy_pages_fn(self, m: int):
+        """Compiled page copy: duplicate ``m`` logical pages across all layers
+        (the n>1 boundary-page fork — the page holding position p-1 is written
+        by every sequence from its first decode step, so siblings get a private
+        copy while the fully-read-only prefix pages are shared by reference).
+        Pad rows point src AND dst at the trash page."""
+        if m not in self._copy_fn_cache:
+            n_layers = self.cfg.num_layers
+            n_pages = self.n_pages
+            trash_off = n_layers * n_pages  # physical trash row
+
+            def cp(pools, src, dst):
+                offs = jnp.arange(n_layers, dtype=jnp.int32)[:, None] * n_pages
+                s = jnp.where(src[None, :] >= n_pages, trash_off, offs + src[None, :]).reshape(-1)
+                d = jnp.where(dst[None, :] >= n_pages, trash_off, offs + dst[None, :]).reshape(-1)
+                return {"k": pools["k"].at[d].set(pools["k"][s]), "v": pools["v"].at[d].set(pools["v"][s])}
+
+            self._copy_fn_cache[m] = jax.jit(cp, donate_argnums=(0,))
+        return self._copy_fn_cache[m]
 
     def _chunk_fn(self, sp: SamplingParams):
         cache_key = (sp, self.chunk)
@@ -265,10 +291,22 @@ class PagedDecodeEngine:
         if len(self._free_pages) < n:
             return None
         pages = [self._free_pages.pop() for _ in range(n)]
+        for p in pages:
+            self._page_refs[p] = 1
         return pages
 
+    def _share_pages(self, pages: list[int]) -> None:
+        for p in pages:
+            self._page_refs[p] += 1
+
+    def _release_pages(self, pages: list[int]) -> None:
+        for p in pages:
+            self._page_refs[p] -= 1
+            if self._page_refs[p] == 0:
+                self._free_pages.append(p)
+
     def _free_slot(self, slot: _Slot):
-        self._free_pages.extend(slot.pages)
+        self._release_pages(slot.pages)
         slot.pages = []
         slot.req = None
         slot.seq_len = 0
@@ -295,8 +333,9 @@ class PagedDecodeEngine:
             self._page_table[slot_id, len(slot.pages) - 1] = got[0]
         return True
 
-    def _preempt_youngest(self, queue: list[_Request]) -> int | None:
-        """Free the youngest active unfinished slot, re-queueing its request.
+    def _preempt_youngest(self, queue: list[list[_Request]]) -> int | None:
+        """Free the youngest active unfinished slot, re-queueing its request
+        (as a singleton group — a preempted n>1 sibling re-prefills solo).
 
         Returns the victim slot id (the caller must clear its ``active`` flag
         so the in-flight decode mask stops advancing it), or None if nothing
@@ -314,7 +353,7 @@ class PagedDecodeEngine:
         )
         slot.req.out = []
         slot.req.clp = 0.0
-        queue.insert(0, slot.req)
+        queue.insert(0, [slot.req])
         self._free_slot(slot)
         return victim
 
@@ -324,11 +363,22 @@ class PagedDecodeEngine:
         self, prompts: list[list[int]], sp: SamplingParams, key: jax.Array | None = None
     ) -> list[dict[str, Any]]:
         """Generate for ragged prompts with continuous batching; returns vLLM-shaped
-        dicts in prompt order (same schema as DecodeEngine.generate_batch)."""
+        dicts in prompt order (same schema as DecodeEngine.generate_batch).
+
+        With ``sp.n > 1`` each prompt yields ``n`` sequences and the returned
+        list is prompt-major / sequence-minor (``len == len(prompts) * sp.n``).
+        The n sequences of a prompt are admitted together and SHARE the
+        prompt's fully-read-only KV pages by reference (one prefill, one
+        boundary-page copy per extra sequence) — the memory/compute sharing
+        vLLM's parallel sampling is built on."""
         if key is None:
             key = jax.random.key(0)
         if sp.max_tokens < 1:
             raise ValueError("max_tokens must be >= 1")
+        if sp.n < 1:
+            raise ValueError("sampling_params.n must be >= 1")
+        if sp.n > self.n_slots:
+            raise ValueError(f"sampling_params.n ({sp.n}) cannot exceed n_slots ({self.n_slots})")
         for i, t in enumerate(prompts):
             if len(t) == 0:
                 raise ValueError(f"Prompt {i} is empty")
@@ -346,9 +396,14 @@ class PagedDecodeEngine:
                     f"(prompt {len(t)} + max_tokens {sp.max_tokens}), pool has {self.n_pages}"
                 )
 
-        queue = [_Request(idx=i, prompt=list(t)) for i, t in enumerate(prompts)]
-        results: dict[int, dict[str, Any]] = {}
-        n_total = len(queue)
+        # the queue holds GROUPS: the n sequences of a prompt admit together so
+        # they can share prefix pages; preempted/split members re-queue solo
+        queue: list[list[_Request]] = [
+            [_Request(idx=i, prompt=list(t), seq=j) for j in range(sp.n)]
+            for i, t in enumerate(prompts)
+        ]
+        results: dict[tuple[int, int], dict[str, Any]] = {}
+        n_total = len(prompts) * sp.n
         use_pen = sp.uses_penalties
         stats = self.last_stats = {
             "chunk_dispatches": 0,
@@ -359,6 +414,7 @@ class PagedDecodeEngine:
             "prompt_tokens": sum(len(p) for p in prompts),
             "tokens_out": 0,
             "preemptions": 0,
+            "pages_shared": 0,         # prefix pages referenced instead of copied (n>1)
             "dispatch_block_s": 0.0,   # host-blocking part of async chunk dispatches
             "prefill_block_s": 0.0,
             "harvest_block_s": 0.0,    # blocked in device_get for chunk results
@@ -394,22 +450,30 @@ class PagedDecodeEngine:
         stop_set = set(sp.stop_token_ids)
         chunk_fn = self._chunk_fn(sp)
 
-        def admit_slot(slot_id: int) -> tuple[int, int] | None:
+        def admit_slot(
+            slot_id: int, req: _Request, shared_prefix: list[int] | None = None
+        ) -> tuple[int, int] | None:
             """Claim pages + host slot state; returns (slot_id, bucket) for the
             batched prefill pass, or None when the pool is tight. Pure host
             bookkeeping: the admission override rides the next dispatched
             chunk's control array (no device ops here)."""
-            req = queue[0]
             p = len(req.prompt)
             p_bucket = _round_up(p, self.prompt_bucket)
             slot = self._slots[slot_id]
+            if shared_prefix:
+                # n>1 sibling: reference the leader's read-only prompt pages,
+                # own pages for the rest of the bucket (boundary page onward)
+                self._share_pages(shared_prefix)
+                slot.pages = list(shared_prefix)
+                for k in range(len(shared_prefix)):
+                    self._page_table[slot_id, k] = shared_prefix[k]
+                stats["pages_shared"] += len(shared_prefix)
             if not self._ensure_capacity(slot_id, p_bucket):
                 # release the partial allocation: a req=None slot is invisible
                 # to preemption/collect, so stranded pages would otherwise
                 # shrink the pool for the rest of the engine's lifetime
                 self._free_slot(slot)
                 return None
-            queue.pop(0)
             slot.req = req
             slot.seq_len = p - 1
             slot.n_out = 0
@@ -427,6 +491,48 @@ class PagedDecodeEngine:
             admit_budget_h[slot_id] = sp.max_tokens
             prompt_lens_h[slot_id] = p
             return slot_id, p_bucket
+
+        def admit_group(group: list[_Request], slot_ids: list[int]):
+            """Admit a prompt's sequences together: the leader prefills; each
+            sibling shares the leader's full read-only pages and receives a
+            device-side copy of the boundary page. Returns (prefill claims,
+            boundary copies) or None (pool tight — everything rolled back)."""
+            leader, siblings = group[0], group[1:]
+            claim = admit_slot(slot_ids[0], leader)
+            if claim is None:
+                return None
+            admitted_ids = [slot_ids[0]]
+            copies: list[tuple[int, int]] = []
+            p = len(leader.prompt)
+            shared_n = (p - 1) // self.page_size  # pages holding only positions <= p-2
+            lead_pages = self._slots[slot_ids[0]].pages
+            for sid, req in zip(slot_ids[1:], siblings):
+                got = admit_slot(sid, req, shared_prefix=lead_pages[:shared_n])
+                if got is None:
+                    for aid in admitted_ids:  # roll the whole group back
+                        self._free_slot(self._slots[aid])
+                        active[aid] = False
+                        admit_h[aid] = 0
+                    return None
+                admitted_ids.append(sid)
+                # the page holding position p-1 is written by the sibling's
+                # first decode step but still carries prompt K/V before it
+                copies.append((lead_pages[shared_n], self._slots[sid].pages[shared_n]))
+            queue.pop(0)
+            return claim, copies
+
+        def dispatch_copies(copies: list[tuple[int, int]]) -> None:
+            """One compiled dispatch duplicating all boundary pages admitted
+            this round (padded to a power of two; trash-id pad rows)."""
+            m = 1
+            while m < len(copies):
+                m *= 2
+            trash = self.n_pages
+            src = np.full((m,), trash, np.int32)
+            dst = np.full((m,), trash, np.int32)
+            for r, (s_pg, d_pg) in enumerate(copies):
+                src[r], dst[r] = s_pg, d_pg
+            self.pools = self._copy_pages_fn(m)(self.pools, jnp.asarray(src), jnp.asarray(dst))
 
         def prefill_admitted(admitted: list[tuple[int, int]]) -> None:
             """Dispatch batched prefills: one program per (group bucket, group
@@ -459,7 +565,7 @@ class PagedDecodeEngine:
             req = slot.req
             token_ids = req.out[: sp.max_tokens]
             stopped = bool(token_ids) and token_ids[-1] in stop_set
-            results[req.idx] = {
+            results[req.idx, req.seq] = {
                 "token_ids": token_ids,
                 "finish_reason": "stop" if stopped else "length",
                 "stop_reason": token_ids[-1] if stopped else None,
@@ -527,18 +633,24 @@ class PagedDecodeEngine:
                 while pending and pending[0]["packed"].is_ready():
                     harvest_oldest()
 
-                # 1) admit new prompts into free slots, then prefill them batched
+                # 1) admit new prompt groups into free slots (a group's n
+                # sequences go in together so they can share prefix pages),
+                # then prefill the leaders batched + fork boundary pages
                 admitted: list[tuple[int, int]] = []
-                for slot_id in range(self.n_slots):
-                    if not queue or suspend_admission:
-                        break
-                    if self._slots[slot_id].req is None:
-                        claim = admit_slot(slot_id)
-                        if claim is None:
-                            break  # pool tight: stop admitting, let running slots finish
-                        admitted.append(claim)
+                copies: list[tuple[int, int]] = []
+                free_ids = [i for i, s in enumerate(self._slots) if s.req is None]
+                while queue and not suspend_admission and 0 < len(queue[0]) <= len(free_ids):
+                    res = admit_group(queue[0], free_ids[: len(queue[0])])
+                    if res is None:
+                        break  # pool tight: stop admitting, let running slots finish
+                    claim, group_copies = res
+                    admitted.append(claim)
+                    copies.extend(group_copies)
+                    free_ids = free_ids[len(group_copies) + 1 :]
                 if admitted:
                     prefill_admitted(admitted)
+                if copies:
+                    dispatch_copies(copies)
 
                 runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
                 if not runnable:
@@ -549,6 +661,13 @@ class PagedDecodeEngine:
                         suspend_admission = False  # nothing else can progress; retry admission
                         continue
                     if queue and not admitted:
+                        if len(queue[0]) > 1:
+                            # the gang does not fit together in an otherwise idle
+                            # engine: split it — each sequence runs solo (its fit
+                            # was validated upfront), trading page sharing for
+                            # progress
+                            queue[:1] = [[r] for r in queue[0]]
+                            continue
                         # nothing is running, every page is free, and a prompt still
                         # does not fit: the pool is fundamentally undersized
                         raise RuntimeError("KV page pool too small to admit any prompt; raise n_pages")
@@ -647,7 +766,7 @@ class PagedDecodeEngine:
             stats["wall_s"] = time.perf_counter() - t_start
             cap = stats["chunk_dispatches"] * self.n_slots * self.chunk
             stats["slot_occupancy"] = stats["tokens_out"] / cap if cap else 0.0
-            return [results[i] for i in range(n_total)]
+            return [results[i, j] for i in range(len(prompts)) for j in range(sp.n)]
         except BaseException:
             # Release every claimed slot/page so the engine survives a failed
             # call (pool-exhausted RuntimeError, KeyboardInterrupt, ...) without

@@ -160,6 +160,19 @@ def test_run_generation_end_to_end(tmp_path, synthetic_data):
     with pytest.raises(FileExistsError):
         run_generation(cfg)
 
+    # n>1 parallel sampling: one record per prompt, n entries in outputs
+    # (vLLM record shape); greedy -> all sequences identical to the n=1 run
+    cfg.gen.output_dir = str(tmp_path / "gens_n3")
+    cfg.sampling_params.n = 3
+    out_dir3 = run_generation(cfg)
+    records3 = [json.loads(line) for line in (out_dir3 / "generations.jsonl").read_text().splitlines()]
+    assert len(records3) == 6
+    for rec1, rec3 in zip(records, records3):
+        assert len(rec3["outputs"]) == 3
+        assert [o["index"] for o in rec3["outputs"]] == [0, 1, 2]
+        for o in rec3["outputs"]:
+            assert o["token_ids"] == rec1["outputs"][0]["token_ids"]
+
 
 def test_render_templates():
     from ssi_tpu.generate.templates import list_templates, render_template

@@ -368,3 +368,58 @@ def test_last_stats_contract(setup):
     assert s["chunk_dispatches"] > 0 and 0.0 < s["slot_occupancy"] <= 1.0
     assert s["preemptions"] == 0
     assert s["wall_s"] >= s["harvest_block_s"] >= 0.0
+
+
+def test_n_parallel_sampling_greedy_shares_pages(setup):
+    """n>1: each prompt yields n sequences (prompt-major order); with greedy
+    sampling all siblings equal the n=1 output bitwise — proving the shared
+    prefix pages + forked boundary page reconstruct the exact same KV state.
+    The free list must be fully restored (refcount accounting)."""
+    cfg, params = setup
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 17, 11]]
+    engine = make_engine(params, cfg, n_slots=8)
+    free0 = len(engine._free_pages)
+
+    solo = engine.generate_batch(prompts, SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=()))
+    sp3 = SamplingParams(n=3, temperature=0.0, max_tokens=6, stop_token_ids=())
+    outs = engine.generate_batch(prompts, sp3)
+
+    assert len(outs) == 3 * len(prompts)
+    for i in range(len(prompts)):
+        for j in range(3):
+            assert outs[i * 3 + j]["token_ids"] == solo[i]["token_ids"], (i, j)
+    assert engine.last_stats["pages_shared"] > 0  # prompt 17 spans >= 2 pages (ps=8)
+    assert len(engine._free_pages) == free0
+    assert (engine._page_refs == 0).all()
+
+
+def test_n_sampling_temperature_independent_streams(setup):
+    """n=4 stochastic sampling: siblings draw independent tokens (same logits,
+    per-row Gumbel noise) — at least one pair of sequences must differ."""
+    cfg, params = setup
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(0, cfg.vocab_size, 9).tolist()
+    engine = make_engine(params, cfg, n_slots=4)
+    sp = SamplingParams(n=4, temperature=1.0, max_tokens=8, stop_token_ids=())
+    outs = engine.generate_batch([prompt], sp, key=jax.random.key(5))
+    assert len(outs) == 4
+    seqs = [tuple(o["token_ids"]) for o in outs]
+    assert len(set(seqs)) > 1
+    assert all(len(s) == 8 for s in seqs)
+    assert all(np.isfinite(o["cumulative_logprob"]) for o in outs)
+
+
+def test_n_gang_splits_when_pool_tight(setup):
+    """A gang that can never sit together in the pool must split into solo
+    sequences and still produce n correct greedy outputs."""
+    cfg, params = setup
+    prompt = [3] * 20  # 3 pages of prompt (ps=8), bucket 24
+    engine = make_engine(params, cfg, n_slots=4, n_pages=7, max_context=48)
+    solo = engine.generate_batch([prompt], SamplingParams(temperature=0.0, max_tokens=4, stop_token_ids=()))
+    sp = SamplingParams(n=3, temperature=0.0, max_tokens=4, stop_token_ids=())
+    outs = engine.generate_batch([prompt], sp)
+    assert len(outs) == 3
+    for o in outs:
+        assert o["token_ids"] == solo[0]["token_ids"]
+    assert len(engine._free_pages) == engine.n_pages
