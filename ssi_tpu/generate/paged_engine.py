@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import logging
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -66,6 +67,43 @@ class _Slot:
     done: bool = False            # hit a stop token / budget; awaiting collection
 
 
+@dataclass
+class _Stream:
+    """Per-stream scheduler state (one active stream per engine; see
+    PagedDecodeEngine.begin_stream)."""
+
+    sp: SamplingParams
+    key: Any
+    use_pen: bool
+    stop_set: set
+    chunk_fn: Any
+    # request lifecycle
+    queue: list[list[_Request]] = field(default_factory=list)      # admission groups
+    results: dict[tuple[int, int], dict] = field(default_factory=dict)
+    expected: dict[int, int] = field(default_factory=dict)         # idx -> n sequences
+    collected: dict[int, int] = field(default_factory=dict)        # idx -> sequences done
+    completed: deque = field(default_factory=deque)                # idxs ready to return
+    next_idx: int = 0
+    # in-flight chunk futures (oldest first)
+    pending: deque = field(default_factory=deque)
+    suspend_admission: bool = False                                # set on self-preemption
+    # device carries + host control columns, created by begin_stream
+    seq_lens: Any = None
+    tok: Any = None
+    done: Any = None
+    budget: Any = None
+    out_counts: Any = None
+    active: Any = None
+    admit: Any = None
+    admit_seq: Any = None
+    admit_tok: Any = None
+    admit_budget: Any = None
+    prompt_lens: Any = None
+    prompt_counts: Any = None
+    stats: dict = field(default_factory=dict)
+    t_start: float = 0.0
+
+
 class PagedDecodeEngine:
     """Continuous-batching generation over a paged KV cache.
 
@@ -85,8 +123,10 @@ class PagedDecodeEngine:
             (1 = harvest immediately after each dispatch). Ready results are
             additionally collected opportunistically every iteration, so deeper
             pipelines no longer idle finished slots. v5e sweep at the serving
-            shape (48 slots, chunk 16): depth 2 = 3.19k, depth 3 = 3.27k,
-            depth 4 = 2.65k tok/s -> default 3.
+            shape (48 slots, chunk 16) AFTER the packed-control admission fix
+            removed the per-chunk host overhead: depth 2 = 4.39k, depth 3 =
+            4.37k tok/s (chunk 24 at depth 3: 4.03k) -> default 2, which also
+            minimizes done-slot latency.
         quantize: None (bf16 weights) or "int8" (weight-only per-channel int8
             for the layer stack — faster decode, not bitwise vs bf16).
     """
@@ -104,7 +144,7 @@ class PagedDecodeEngine:
         prompt_bucket: int = 128,
         chunk: int = 16,
         attn_impl: str = "auto",
-        pipeline_depth: int = 3,
+        pipeline_depth: int = 2,
         quantize: str | None = None,
     ):
         if quantize == "int8":
@@ -359,6 +399,475 @@ class PagedDecodeEngine:
 
     # --- main loop -------------------------------------------------------------------
 
+    # --- incremental serving API --------------------------------------------------
+    #
+    # The engine is a STREAM scheduler (vLLM's LLMEngine shape): begin_stream()
+    # pins a SamplingParams + compiled chunk program, add_request() enqueues
+    # prompts at any time (including between step() calls — continuous batching
+    # with dynamic arrivals), step() runs ONE scheduler iteration (harvest ready
+    # results, admit, provision pages, dispatch one chunk) and returns the
+    # requests that completed. generate_batch() is a thin driver over these.
+
+    def begin_stream(self, sp: SamplingParams, key: jax.Array | None = None) -> None:
+        """Open a request stream under one SamplingParams (one compiled chunk
+        program per sp). Exactly one stream may be active at a time — the KV
+        pool and slot set are engine-level resources."""
+        if getattr(self, "_st", None) is not None:
+            raise RuntimeError("A stream is already active on this engine; call end_stream() first")
+        if any(s.req is not None for s in self._slots):
+            raise RuntimeError("Engine slots are not free; a previous stream did not clean up")
+        if sp.max_tokens < 1:
+            raise ValueError("max_tokens must be >= 1")
+        if sp.n < 1:
+            raise ValueError("sampling_params.n must be >= 1")
+        if sp.n > self.n_slots:
+            raise ValueError(f"sampling_params.n ({sp.n}) cannot exceed n_slots ({self.n_slots})")
+        st = _Stream(
+            sp=sp,
+            key=key if key is not None else jax.random.key(0),
+            use_pen=sp.uses_penalties,
+            stop_set=set(sp.stop_token_ids),
+            chunk_fn=self._chunk_fn(sp),
+        )
+        n = self.n_slots
+        v = self.cfg.vocab_size
+        # Device-resident slot state (seq_lens/tok/done/budget/out_counts ride
+        # the chunk program); everything the HOST owns — active flags, pending
+        # admission overrides, prompt lengths, page table — travels as columns
+        # of ONE packed int32 control array per dispatch. Admission seeds a
+        # slot at seq_len = p - 1 with tok = prompt[-1]: the first chunk step
+        # recomputes the last prompt position's K/V in place (same math as the
+        # prefill, one redundant token of work) and samples the first output ON
+        # DEVICE — admission performs zero host<->device round trips, which
+        # matters enormously through the axon tunnel (~100 ms per sync).
+        st.seq_lens = jnp.zeros((n,), jnp.int32)
+        st.tok = jnp.full((n,), self.pad_id, jnp.int32)
+        st.done = jnp.zeros((n,), bool)
+        st.budget = jnp.zeros((n,), jnp.int32)
+        st.active = np.zeros((n,), bool)
+        st.admit = np.zeros((n,), np.int32)
+        st.admit_seq = np.zeros((n,), np.int32)
+        st.admit_tok = np.zeros((n,), np.int32)
+        st.admit_budget = np.zeros((n,), np.int32)
+        st.prompt_lens = np.zeros((n,), np.int32)
+        st.out_counts = jnp.zeros((n, v) if st.use_pen else (1, 1), jnp.float32)
+        st.prompt_counts = np.zeros((n, v) if st.use_pen else (1, 1), np.float32)
+        st.stats = self.last_stats = {
+            "chunk_dispatches": 0,
+            "slot_chunks": 0,          # sum over dispatches of runnable slots
+            "prefill_dispatches": 0,
+            "prefill_rows": 0,
+            "prefill_token_area": 0,   # sum of group * bucket (padded work)
+            "prompt_tokens": 0,
+            "tokens_out": 0,
+            "preemptions": 0,
+            "pages_shared": 0,         # prefix pages referenced instead of copied (n>1)
+            "dispatch_block_s": 0.0,   # host-blocking part of async chunk dispatches
+            "prefill_block_s": 0.0,
+            "harvest_block_s": 0.0,    # blocked in device_get for chunk results
+            "wall_s": 0.0,
+        }
+        st.t_start = time.perf_counter()
+        self._st = st
+
+    def add_request(self, prompt: list[int]) -> int:
+        """Enqueue one prompt on the active stream; returns its request id.
+        The request's sp.n sequences are queued as a gang (shared prefix pages).
+        Callable at any point in the stream — new arrivals are admitted into
+        slots as they free up."""
+        st = self._require_stream()
+        sp = st.sp
+        if len(prompt) == 0:
+            raise ValueError("Prompt is empty")
+        if len(prompt) + sp.max_tokens > self.max_context:
+            raise ValueError(
+                f"Prompt ({len(prompt)} tokens) + max_tokens ({sp.max_tokens}) exceeds "
+                f"max_context ({self.max_context})"
+            )
+        # reject unservable requests upfront: an admission/preemption cycle
+        # can never free more than the whole pool
+        need = self._pages_needed(max(_round_up(len(prompt), self.prompt_bucket), len(prompt) + sp.max_tokens))
+        if need > self.n_pages:
+            raise RuntimeError(
+                f"KV page pool too small for this prompt: needs {need} pages "
+                f"(prompt {len(prompt)} + max_tokens {sp.max_tokens}), pool has {self.n_pages}"
+            )
+        idx = st.next_idx
+        st.next_idx += 1
+        # the queue holds GROUPS: the n sequences of a prompt admit together so
+        # they can share prefix pages; preempted/split members re-queue solo
+        st.queue.append([_Request(idx=idx, prompt=list(prompt), seq=j) for j in range(sp.n)])
+        st.expected[idx] = sp.n
+        st.stats["prompt_tokens"] += len(prompt)
+        return idx
+
+    @property
+    def stream_idle(self) -> bool:
+        """True when the active stream has no queued or running requests."""
+        st = self._require_stream()
+        return not st.queue and all(s.req is None for s in self._slots)
+
+    def end_stream(self) -> None:
+        """Close the stream: finalize stats; if requests are still queued or
+        running, abandon them and release every slot/page (abort semantics)."""
+        st = getattr(self, "_st", None)
+        if st is None:
+            return
+        st.stats["wall_s"] = time.perf_counter() - st.t_start
+        cap = st.stats["chunk_dispatches"] * self.n_slots * self.chunk
+        st.stats["slot_occupancy"] = st.stats["tokens_out"] / cap if cap else 0.0
+        # Release every claimed slot/page so the engine survives an aborted
+        # stream without a permanently shrunken free list. In-flight device
+        # chunks finish against the device-side state they captured and their
+        # results are dropped.
+        for slot in self._slots:
+            if slot.req is not None:
+                self._free_slot(slot)
+        st.pending.clear()
+        self._st = None
+
+    def _require_stream(self) -> "_Stream":
+        st = getattr(self, "_st", None)
+        if st is None:
+            raise RuntimeError("No active stream; call begin_stream(sp) first")
+        return st
+
+    # --- per-stream scheduler mechanics ---------------------------------------------
+
+    def _admit_slot(
+        self, slot_id: int, req: _Request, shared_prefix: list[int] | None = None
+    ) -> tuple[int, int] | None:
+        """Claim pages + host slot state; returns (slot_id, bucket) for the
+        batched prefill pass, or None when the pool is tight. Pure host
+        bookkeeping: the admission override rides the next dispatched
+        chunk's control array (no device ops here)."""
+        st = self._st
+        p = len(req.prompt)
+        p_bucket = _round_up(p, self.prompt_bucket)
+        slot = self._slots[slot_id]
+        if shared_prefix:
+            # n>1 sibling: reference the leader's read-only prompt pages,
+            # own pages for the rest of the bucket (boundary page onward)
+            self._share_pages(shared_prefix)
+            slot.pages = list(shared_prefix)
+            for k in range(len(shared_prefix)):
+                self._page_table[slot_id, k] = shared_prefix[k]
+            st.stats["pages_shared"] += len(shared_prefix)
+        if not self._ensure_capacity(slot_id, p_bucket):
+            # release the partial allocation: a req=None slot is invisible
+            # to preemption/collect, so stranded pages would otherwise
+            # shrink the pool for the rest of the engine's lifetime
+            self._free_slot(slot)
+            return None
+        slot.req = req
+        slot.seq_len = p - 1
+        slot.n_out = 0
+        slot.done = False
+
+        if st.use_pen:
+            cnt = np.zeros((self.cfg.vocab_size,), np.float32)
+            np.add.at(cnt, req.prompt, 1.0)
+            st.prompt_counts[slot_id] = cnt
+
+        st.active[slot_id] = True
+        st.admit[slot_id] = 1
+        st.admit_seq[slot_id] = p - 1
+        st.admit_tok[slot_id] = req.prompt[-1]
+        st.admit_budget[slot_id] = st.sp.max_tokens
+        st.prompt_lens[slot_id] = p
+        return slot_id, p_bucket
+
+    def _admit_group(self, group: list[_Request], slot_ids: list[int]):
+        """Admit a prompt's sequences together: the leader prefills; each
+        sibling shares the leader's full read-only pages and receives a
+        device-side copy of the boundary page. Returns (prefill claim,
+        boundary copies) or None (pool tight — everything rolled back)."""
+        st = self._st
+        leader, siblings = group[0], group[1:]
+        claim = self._admit_slot(slot_ids[0], leader)
+        if claim is None:
+            return None
+        admitted_ids = [slot_ids[0]]
+        copies: list[tuple[int, int]] = []
+        p = len(leader.prompt)
+        shared_n = (p - 1) // self.page_size  # pages holding only positions <= p-2
+        lead_pages = self._slots[slot_ids[0]].pages
+        for sid, req in zip(slot_ids[1:], siblings):
+            got = self._admit_slot(sid, req, shared_prefix=lead_pages[:shared_n])
+            if got is None:
+                for aid in admitted_ids:  # roll the whole group back
+                    self._free_slot(self._slots[aid])
+                    st.active[aid] = False
+                    st.admit[aid] = 0
+                return None
+            admitted_ids.append(sid)
+            # the page holding position p-1 is written by the sibling's
+            # first decode step but still carries prompt K/V before it
+            copies.append((lead_pages[shared_n], self._slots[sid].pages[shared_n]))
+        st.queue.pop(0)
+        return claim, copies
+
+    def _dispatch_copies(self, copies: list[tuple[int, int]]) -> None:
+        """One compiled dispatch duplicating all boundary pages admitted
+        this round (padded to a power of two; trash-id pad rows)."""
+        m = 1
+        while m < len(copies):
+            m *= 2
+        trash = self.n_pages
+        src = np.full((m,), trash, np.int32)
+        dst = np.full((m,), trash, np.int32)
+        for r, (s_pg, d_pg) in enumerate(copies):
+            src[r], dst[r] = s_pg, d_pg
+        self.pools = self._copy_pages_fn(m)(self.pools, jnp.asarray(src), jnp.asarray(dst))
+
+    def _prefill_admitted(self, admitted: list[tuple[int, int]]) -> None:
+        """Dispatch batched prefills: one program per (group bucket, group
+        size), padding rows and beyond-own-bucket pages to the trash id."""
+        st = self._st
+        todo = sorted(admitted, key=lambda t: t[1])  # by bucket
+        trash = self.n_pages  # logical sentinel -> trash row in prefill_prompts
+        while todo:
+            g = next(s for s in self.PREFILL_GROUPS if s <= len(todo))
+            batch, todo = todo[:g], todo[g:]
+            bucket = max(b for _, b in batch)
+            n_pages_row = bucket // self.page_size
+            tokens = np.full((g, bucket), self.pad_id, np.int32)
+            page_ids = np.full((g, n_pages_row), trash, np.int32)
+            for r, (slot_id, own_bucket) in enumerate(batch):
+                s = self._slots[slot_id]
+                tokens[r, : len(s.req.prompt)] = s.req.prompt
+                own_n = own_bucket // self.page_size
+                page_ids[r, :own_n] = self._page_table[slot_id, :own_n]
+            t0 = time.perf_counter()
+            self.pools = self._prefill_fn(bucket, g)(
+                self.params, self.pools, jnp.asarray(tokens), jnp.asarray(page_ids)
+            )
+            st.stats["prefill_block_s"] += time.perf_counter() - t0
+            st.stats["prefill_dispatches"] += 1
+            st.stats["prefill_rows"] += len(batch)
+            st.stats["prefill_token_area"] += g * bucket
+
+    def _collect(self, slot_id: int) -> None:
+        st = self._st
+        sp = st.sp
+        slot = self._slots[slot_id]
+        req = slot.req
+        token_ids = req.out[: sp.max_tokens]
+        stopped = bool(token_ids) and token_ids[-1] in st.stop_set
+        st.results[req.idx, req.seq] = {
+            "token_ids": token_ids,
+            "finish_reason": "stop" if stopped else "length",
+            "stop_reason": token_ids[-1] if stopped else None,
+            "cumulative_logprob": req.clp,
+        }
+        self._free_slot(slot)
+        st.active[slot_id] = False
+        st.collected[req.idx] = st.collected.get(req.idx, 0) + 1
+        if st.collected[req.idx] == st.expected[req.idx]:
+            st.completed.append(req.idx)
+
+    def _harvest(self, p: dict) -> None:
+        st = self._st
+        t0 = time.perf_counter()
+        packed = np.asarray(jax.device_get(p["packed"]))
+        st.stats["harvest_block_s"] += time.perf_counter() - t0
+        chunk = packed.shape[1] - 3
+        emitted_h = packed[:, :chunk]
+        done_h = packed[:, chunk] != 0
+        lens_h = packed[:, chunk + 1]
+        clp_h = packed[:, chunk + 2].view(np.float32)
+        for slot_id, req_snapshot in p["in_chunk"]:
+            s = self._slots[slot_id]
+            if s.req is not req_snapshot or s.done:
+                continue
+            n_new = int(lens_h[slot_id]) - s.seq_len
+            s.seq_len = int(lens_h[slot_id])
+            if n_new > 0:
+                s.req.out.extend(int(t) for t in emitted_h[slot_id, :n_new])
+                s.req.clp += float(clp_h[slot_id])
+                s.n_out += n_new
+                st.stats["tokens_out"] += n_new
+            if bool(done_h[slot_id]):
+                s.done = True
+                self._collect(slot_id)
+
+    def _harvest_oldest(self) -> None:
+        self._harvest(self._st.pending.popleft())
+
+    def step(self) -> list[dict[str, Any]]:
+        """Run ONE scheduler iteration on the active stream: opportunistically
+        harvest ready chunks, admit queued requests into free slots (batched
+        prefill + boundary-page forks), provision pages (preempting if the pool
+        runs dry), dispatch one decode chunk, and block-harvest the oldest
+        in-flight chunk once the pipeline is full.
+
+        Returns the requests that COMPLETED during this iteration, each as
+        ``{"request_id": int, "outputs": [sp.n result dicts]}``. An iteration
+        that only waits (e.g. gang larger than current free slots) returns [].
+
+        Up to ``pipeline_depth`` chunks are kept IN FLIGHT while older chunks'
+        results are harvested: each harvest's device_get costs a full
+        host<->device round trip (~100 ms through the axon dev tunnel, still
+        material on real hosts), and queued chunks keep the device busy
+        through it. Bookkeeping consequences: page capacity is provisioned
+        (depth+1) chunks ahead for in-flight slots, harvests identity-check
+        the request (a slot freed and re-admitted between dispatch and
+        harvest is skipped — its old request was fully collected when it
+        went done), and a request that finishes mid-flight idles its slot
+        for up to ``depth`` extra chunks (done latches on device, so it stops
+        advancing; it is collected when its chunk is harvested)."""
+        st = self._require_stream()
+        try:
+            self._step_inner(st)
+        except BaseException:
+            self.end_stream()  # release every claimed slot/page; drop in-flight chunks
+            raise
+        out = []
+        while st.completed:
+            idx = st.completed.popleft()
+            out.append({
+                "request_id": idx,
+                "outputs": [st.results.pop((idx, j)) for j in range(st.expected.pop(idx))],
+            })
+            st.collected.pop(idx, None)
+        return out
+
+    def _step_inner(self, st: "_Stream") -> None:
+        sp = st.sp
+        # 0) opportunistic harvest: collect any in-flight chunk whose
+        # result is already computed (copy_to_host_async was issued at
+        # dispatch, so device_get is a cheap host-buffer read). This
+        # refills done slots ~pipeline_depth chunks earlier than the
+        # blocking harvest alone — with mean generations of only a few
+        # chunks, that idle time is the dominant occupancy loss.
+        while st.pending and st.pending[0]["packed"].is_ready():
+            self._harvest_oldest()
+
+        # 1) admit new prompt groups into free slots (a group's n
+        # sequences go in together so they can share prefix pages),
+        # then prefill the leaders batched + fork boundary pages
+        admitted: list[tuple[int, int]] = []
+        copies: list[tuple[int, int]] = []
+        free_ids = [i for i, s in enumerate(self._slots) if s.req is None]
+        while st.queue and not st.suspend_admission and 0 < len(st.queue[0]) <= len(free_ids):
+            res = self._admit_group(st.queue[0], free_ids[: len(st.queue[0])])
+            if res is None:
+                break  # pool tight: stop admitting, let running slots finish
+            claim, group_copies = res
+            admitted.append(claim)
+            copies.extend(group_copies)
+            free_ids = free_ids[len(group_copies) + 1 :]
+        if admitted:
+            self._prefill_admitted(admitted)
+        if copies:
+            self._dispatch_copies(copies)
+
+        runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
+        if not runnable:
+            if st.pending:
+                self._harvest_oldest()
+                return
+            if st.suspend_admission:
+                st.suspend_admission = False  # nothing else can progress; retry admission
+                return
+            if st.queue and not admitted:
+                if len(st.queue[0]) > 1:
+                    # the gang does not fit together in an otherwise idle
+                    # engine: split it — each sequence runs solo (its fit
+                    # was validated upfront), trading page sharing for
+                    # progress
+                    st.queue[:1] = [[r] for r in st.queue[0]]
+                    return
+                # nothing is running, every page is free, and a prompt still
+                # does not fit: the pool is fundamentally undersized
+                raise RuntimeError("KV page pool too small to admit any prompt; raise n_pages")
+            return  # everything admitted finished instantly -> re-admit / exit
+
+        # 2) make sure every running slot has pages for the next chunk
+        # (in-flight slots may already be several chunks ahead of the
+        # host mirror, so provision depth+1)
+        chunks_ahead: dict[int, int] = {}
+        for p in st.pending:
+            for sid, req_snapshot in p["in_chunk"]:
+                # a freed-and-re-admitted slot's pending entries belong to
+                # the OLD request — they stopped advancing (done latched),
+                # so they must not inflate the new request's lookahead
+                if self._slots[sid].req is req_snapshot:
+                    chunks_ahead[sid] = chunks_ahead.get(sid, 0) + 1
+        for slot_id in runnable:
+            s = self._slots[slot_id]
+            if s.req is None or s.done:
+                continue  # may have been preempted while provisioning others
+            lookahead = self.chunk * (1 + chunks_ahead.get(slot_id, 0))
+            cap = max(
+                _round_up(len(s.req.prompt), self.prompt_bucket),
+                len(s.req.prompt) + sp.max_tokens,
+            )
+            target = min(s.seq_len + lookahead + 1, self.max_context, cap)
+            while not self._ensure_capacity(slot_id, target):
+                if st.pending:
+                    # free what in-flight chunks have finished before
+                    # resorting to preemption
+                    while st.pending:
+                        self._harvest_oldest()
+                    chunks_ahead = {}
+                    if self._slots[slot_id].req is None or self._slots[slot_id].done:
+                        break
+                    continue
+                victim = self._preempt_youngest(st.queue)
+                if victim is None:
+                    raise RuntimeError("KV page pool exhausted and nothing to preempt")
+                st.stats["preemptions"] += 1
+                st.active[victim] = False  # stop the decode mask advancing a freed slot
+                st.admit[victim] = 0  # drop any not-yet-dispatched admission override
+                if self._slots[slot_id].req is None:  # we preempted ourselves
+                    # let the surviving slots make progress before this
+                    # request is re-admitted, or the cycle never dispatches
+                    st.suspend_admission = True
+                    return
+
+        # 3) dispatch one compiled chunk for every active slot (async)
+        runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
+        if not runnable:
+            return
+        t0 = time.perf_counter()
+        control = np.concatenate(
+            [
+                np.stack(
+                    [st.active.astype(np.int32), st.admit, st.admit_seq,
+                     st.admit_tok, st.admit_budget, st.prompt_lens],
+                    axis=1,
+                ),
+                self._page_table,
+            ],
+            axis=1,
+        )
+        pc_dev = jnp.asarray(st.prompt_counts) if st.use_pen else jnp.zeros((1, 1), jnp.float32)
+        (self.pools, st.seq_lens, st.tok, st.done, st.budget, st.out_counts, st.key, packed) = st.chunk_fn(
+            self.params, self.pools, jnp.asarray(control), st.seq_lens, st.tok, st.done, st.budget,
+            st.out_counts, pc_dev, st.key,
+        )
+        st.admit[:] = 0  # consumed by this dispatch
+        st.stats["dispatch_block_s"] += time.perf_counter() - t0
+        st.stats["chunk_dispatches"] += 1
+        st.stats["slot_chunks"] += len(runnable)
+        st.suspend_admission = False  # a chunk dispatched: progress is real
+        packed.copy_to_host_async()  # ONE transfer request now (the old
+        # 4-array layout made this a loss: four extra per-chunk requests
+        # through the tunnel beat the batched device_get they were
+        # meant to hide; a single packed array flips that trade)
+        st.pending.append({
+            "packed": packed,
+            "in_chunk": [(i, self._slots[i].req) for i in runnable],
+        })
+
+        # 4) harvest the oldest chunk once the pipeline is full — the
+        # remaining queued chunks keep the device busy through the get
+        if len(st.pending) >= self.pipeline_depth:
+            self._harvest_oldest()
+
+    # --- batch driver ---------------------------------------------------------------
+
     def generate_batch(
         self, prompts: list[list[int]], sp: SamplingParams, key: jax.Array | None = None
     ) -> list[dict[str, Any]]:
@@ -370,412 +879,19 @@ class PagedDecodeEngine:
         The n sequences of a prompt are admitted together and SHARE the
         prompt's fully-read-only KV pages by reference (one prefill, one
         boundary-page copy per extra sequence) — the memory/compute sharing
-        vLLM's parallel sampling is built on."""
-        if key is None:
-            key = jax.random.key(0)
-        if sp.max_tokens < 1:
-            raise ValueError("max_tokens must be >= 1")
-        if sp.n < 1:
-            raise ValueError("sampling_params.n must be >= 1")
-        if sp.n > self.n_slots:
-            raise ValueError(f"sampling_params.n ({sp.n}) cannot exceed n_slots ({self.n_slots})")
-        for i, t in enumerate(prompts):
-            if len(t) == 0:
-                raise ValueError(f"Prompt {i} is empty")
-            if len(t) + sp.max_tokens > self.max_context:
-                raise ValueError(
-                    f"Prompt {i} ({len(t)} tokens) + max_tokens ({sp.max_tokens}) exceeds "
-                    f"max_context ({self.max_context})"
-                )
-            # reject unservable requests upfront: an admission/preemption cycle
-            # can never free more than the whole pool
-            need = self._pages_needed(max(_round_up(len(t), self.prompt_bucket), len(t) + sp.max_tokens))
-            if need > self.n_pages:
-                raise RuntimeError(
-                    f"KV page pool too small for prompt {i}: needs {need} pages "
-                    f"(prompt {len(t)} + max_tokens {sp.max_tokens}), pool has {self.n_pages}"
-                )
+        vLLM's parallel sampling is built on.
 
-        # the queue holds GROUPS: the n sequences of a prompt admit together so
-        # they can share prefix pages; preempted/split members re-queue solo
-        queue: list[list[_Request]] = [
-            [_Request(idx=i, prompt=list(t), seq=j) for j in range(sp.n)]
-            for i, t in enumerate(prompts)
-        ]
-        results: dict[tuple[int, int], dict[str, Any]] = {}
-        n_total = len(prompts) * sp.n
-        use_pen = sp.uses_penalties
-        stats = self.last_stats = {
-            "chunk_dispatches": 0,
-            "slot_chunks": 0,          # sum over dispatches of runnable slots
-            "prefill_dispatches": 0,
-            "prefill_rows": 0,
-            "prefill_token_area": 0,   # sum of group * bucket (padded work)
-            "prompt_tokens": sum(len(p) for p in prompts),
-            "tokens_out": 0,
-            "preemptions": 0,
-            "pages_shared": 0,         # prefix pages referenced instead of copied (n>1)
-            "dispatch_block_s": 0.0,   # host-blocking part of async chunk dispatches
-            "prefill_block_s": 0.0,
-            "harvest_block_s": 0.0,    # blocked in device_get for chunk results
-            "wall_s": 0.0,
-        }
-        t_start = time.perf_counter()
-
-        # Device-resident slot state (seq_lens/tok/done/budget/out_counts ride
-        # the chunk program); everything the HOST owns — active flags, pending
-        # admission overrides, prompt lengths, page table — travels as columns
-        # of ONE packed int32 control array per dispatch. Admission seeds a
-        # slot at seq_len = p - 1 with tok = prompt[-1]: the first chunk step
-        # recomputes the last prompt position's K/V in place (same math as the
-        # prefill, one redundant token of work) and samples the first output ON
-        # DEVICE — admission performs zero host<->device round trips, which
-        # matters enormously through the axon tunnel (~100 ms per sync).
-        seq_lens = jnp.zeros((self.n_slots,), jnp.int32)
-        tok = jnp.full((self.n_slots,), self.pad_id, jnp.int32)
-        active = np.zeros((self.n_slots,), bool)
-        done = jnp.zeros((self.n_slots,), bool)
-        budget = jnp.zeros((self.n_slots,), jnp.int32)
-        # host-owned control columns (see _chunk_fn): admissions accumulate
-        # here and are consumed by the next dispatched chunk
-        admit_h = np.zeros((self.n_slots,), np.int32)
-        admit_seq_h = np.zeros((self.n_slots,), np.int32)
-        admit_tok_h = np.zeros((self.n_slots,), np.int32)
-        admit_budget_h = np.zeros((self.n_slots,), np.int32)
-        prompt_lens_h = np.zeros((self.n_slots,), np.int32)
-        v = self.cfg.vocab_size
-        out_counts = jnp.zeros((self.n_slots, v) if use_pen else (1, 1), jnp.float32)
-        prompt_counts_h = np.zeros((self.n_slots, v) if use_pen else (1, 1), np.float32)
-
-        stop_set = set(sp.stop_token_ids)
-        chunk_fn = self._chunk_fn(sp)
-
-        def admit_slot(
-            slot_id: int, req: _Request, shared_prefix: list[int] | None = None
-        ) -> tuple[int, int] | None:
-            """Claim pages + host slot state; returns (slot_id, bucket) for the
-            batched prefill pass, or None when the pool is tight. Pure host
-            bookkeeping: the admission override rides the next dispatched
-            chunk's control array (no device ops here)."""
-            p = len(req.prompt)
-            p_bucket = _round_up(p, self.prompt_bucket)
-            slot = self._slots[slot_id]
-            if shared_prefix:
-                # n>1 sibling: reference the leader's read-only prompt pages,
-                # own pages for the rest of the bucket (boundary page onward)
-                self._share_pages(shared_prefix)
-                slot.pages = list(shared_prefix)
-                for k in range(len(shared_prefix)):
-                    self._page_table[slot_id, k] = shared_prefix[k]
-                stats["pages_shared"] += len(shared_prefix)
-            if not self._ensure_capacity(slot_id, p_bucket):
-                # release the partial allocation: a req=None slot is invisible
-                # to preemption/collect, so stranded pages would otherwise
-                # shrink the pool for the rest of the engine's lifetime
-                self._free_slot(slot)
-                return None
-            slot.req = req
-            slot.seq_len = p - 1
-            slot.n_out = 0
-            slot.done = False
-
-            if use_pen:
-                cnt = np.zeros((v,), np.float32)
-                np.add.at(cnt, req.prompt, 1.0)
-                prompt_counts_h[slot_id] = cnt
-
-            active[slot_id] = True
-            admit_h[slot_id] = 1
-            admit_seq_h[slot_id] = p - 1
-            admit_tok_h[slot_id] = req.prompt[-1]
-            admit_budget_h[slot_id] = sp.max_tokens
-            prompt_lens_h[slot_id] = p
-            return slot_id, p_bucket
-
-        def admit_group(group: list[_Request], slot_ids: list[int]):
-            """Admit a prompt's sequences together: the leader prefills; each
-            sibling shares the leader's full read-only pages and receives a
-            device-side copy of the boundary page. Returns (prefill claims,
-            boundary copies) or None (pool tight — everything rolled back)."""
-            leader, siblings = group[0], group[1:]
-            claim = admit_slot(slot_ids[0], leader)
-            if claim is None:
-                return None
-            admitted_ids = [slot_ids[0]]
-            copies: list[tuple[int, int]] = []
-            p = len(leader.prompt)
-            shared_n = (p - 1) // self.page_size  # pages holding only positions <= p-2
-            lead_pages = self._slots[slot_ids[0]].pages
-            for sid, req in zip(slot_ids[1:], siblings):
-                got = admit_slot(sid, req, shared_prefix=lead_pages[:shared_n])
-                if got is None:
-                    for aid in admitted_ids:  # roll the whole group back
-                        self._free_slot(self._slots[aid])
-                        active[aid] = False
-                        admit_h[aid] = 0
-                    return None
-                admitted_ids.append(sid)
-                # the page holding position p-1 is written by the sibling's
-                # first decode step but still carries prompt K/V before it
-                copies.append((lead_pages[shared_n], self._slots[sid].pages[shared_n]))
-            queue.pop(0)
-            return claim, copies
-
-        def dispatch_copies(copies: list[tuple[int, int]]) -> None:
-            """One compiled dispatch duplicating all boundary pages admitted
-            this round (padded to a power of two; trash-id pad rows)."""
-            m = 1
-            while m < len(copies):
-                m *= 2
-            trash = self.n_pages
-            src = np.full((m,), trash, np.int32)
-            dst = np.full((m,), trash, np.int32)
-            for r, (s_pg, d_pg) in enumerate(copies):
-                src[r], dst[r] = s_pg, d_pg
-            self.pools = self._copy_pages_fn(m)(self.pools, jnp.asarray(src), jnp.asarray(dst))
-
-        def prefill_admitted(admitted: list[tuple[int, int]]) -> None:
-            """Dispatch batched prefills: one program per (group bucket, group
-            size), padding rows and beyond-own-bucket pages to the trash id."""
-            pending = sorted(admitted, key=lambda t: t[1])  # by bucket
-            trash = self.n_pages  # logical sentinel -> trash row in prefill_prompts
-            while pending:
-                g = next(s for s in self.PREFILL_GROUPS if s <= len(pending))
-                batch, pending = pending[:g], pending[g:]
-                bucket = max(b for _, b in batch)
-                n_pages_row = bucket // self.page_size
-                tokens = np.full((g, bucket), self.pad_id, np.int32)
-                page_ids = np.full((g, n_pages_row), trash, np.int32)
-                for r, (slot_id, own_bucket) in enumerate(batch):
-                    s = self._slots[slot_id]
-                    tokens[r, : len(s.req.prompt)] = s.req.prompt
-                    own_n = own_bucket // self.page_size
-                    page_ids[r, :own_n] = self._page_table[slot_id, :own_n]
-                t0 = time.perf_counter()
-                self.pools = self._prefill_fn(bucket, g)(
-                    self.params, self.pools, jnp.asarray(tokens), jnp.asarray(page_ids)
-                )
-                stats["prefill_block_s"] += time.perf_counter() - t0
-                stats["prefill_dispatches"] += 1
-                stats["prefill_rows"] += len(batch)
-                stats["prefill_token_area"] += g * bucket
-
-        def collect(slot_id: int):
-            slot = self._slots[slot_id]
-            req = slot.req
-            token_ids = req.out[: sp.max_tokens]
-            stopped = bool(token_ids) and token_ids[-1] in stop_set
-            results[req.idx, req.seq] = {
-                "token_ids": token_ids,
-                "finish_reason": "stop" if stopped else "length",
-                "stop_reason": token_ids[-1] if stopped else None,
-                "cumulative_logprob": req.clp,
-            }
-            self._free_slot(slot)
-            active[slot_id] = False
-
-        # Up to PIPELINE_DEPTH chunks are kept IN FLIGHT while older chunks'
-        # results are harvested: each harvest's device_get costs a full
-        # host<->device round trip (~100 ms through the axon dev tunnel, still
-        # material on real hosts), and queued chunks keep the device busy
-        # through it. Bookkeeping consequences: page capacity is provisioned
-        # (depth+1) chunks ahead for in-flight slots, harvests identity-check
-        # the request (a slot freed and re-admitted between dispatch and
-        # harvest is skipped — its old request was fully collected when it
-        # went done), and a request that finishes mid-flight idles its slot
-        # for up to `depth` extra chunks (done latches on device, so it stops
-        # advancing; it is collected when its chunk is harvested).
-        from collections import deque
-
-        pending: deque[dict] = deque()  # oldest-first: futures + dispatch snapshots
-
-        def harvest_oldest() -> None:
-            harvest(pending.popleft())
-
-        def drain_pending() -> None:
-            while pending:
-                harvest_oldest()
-
-        def harvest(p: dict) -> None:
-            t0 = time.perf_counter()
-            packed = np.asarray(jax.device_get(p["packed"]))
-            stats["harvest_block_s"] += time.perf_counter() - t0
-            chunk = packed.shape[1] - 3
-            emitted_h = packed[:, :chunk]
-            done_h = packed[:, chunk] != 0
-            lens_h = packed[:, chunk + 1]
-            clp_h = packed[:, chunk + 2].view(np.float32)
-            for slot_id, req_snapshot in p["in_chunk"]:
-                s = self._slots[slot_id]
-                if s.req is not req_snapshot or s.done:
-                    continue
-                n_new = int(lens_h[slot_id]) - s.seq_len
-                s.seq_len = int(lens_h[slot_id])
-                if n_new > 0:
-                    s.req.out.extend(int(t) for t in emitted_h[slot_id, :n_new])
-                    s.req.clp += float(clp_h[slot_id])
-                    s.n_out += n_new
-                    stats["tokens_out"] += n_new
-                if bool(done_h[slot_id]):
-                    s.done = True
-                    collect(slot_id)
-
-        suspend_admission = False  # set on self-preemption; cleared on dispatch
-
+        Thin driver over the streaming API: begin_stream -> add_request xN ->
+        step until idle -> end_stream."""
+        self.begin_stream(sp, key)
         try:
-            while len(results) < n_total:
-                # 0) opportunistic harvest: collect any in-flight chunk whose
-                # result is already computed (copy_to_host_async was issued at
-                # dispatch, so device_get is a cheap host-buffer read). This
-                # refills done slots ~pipeline_depth chunks earlier than the
-                # blocking harvest alone — with mean generations of only a few
-                # chunks, that idle time is the dominant occupancy loss.
-                while pending and pending[0]["packed"].is_ready():
-                    harvest_oldest()
-
-                # 1) admit new prompt groups into free slots (a group's n
-                # sequences go in together so they can share prefix pages),
-                # then prefill the leaders batched + fork boundary pages
-                admitted: list[tuple[int, int]] = []
-                copies: list[tuple[int, int]] = []
-                free_ids = [i for i, s in enumerate(self._slots) if s.req is None]
-                while queue and not suspend_admission and 0 < len(queue[0]) <= len(free_ids):
-                    res = admit_group(queue[0], free_ids[: len(queue[0])])
-                    if res is None:
-                        break  # pool tight: stop admitting, let running slots finish
-                    claim, group_copies = res
-                    admitted.append(claim)
-                    copies.extend(group_copies)
-                    free_ids = free_ids[len(group_copies) + 1 :]
-                if admitted:
-                    prefill_admitted(admitted)
-                if copies:
-                    dispatch_copies(copies)
-
-                runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
-                if not runnable:
-                    if pending:
-                        harvest_oldest()
-                        continue
-                    if suspend_admission:
-                        suspend_admission = False  # nothing else can progress; retry admission
-                        continue
-                    if queue and not admitted:
-                        if len(queue[0]) > 1:
-                            # the gang does not fit together in an otherwise idle
-                            # engine: split it — each sequence runs solo (its fit
-                            # was validated upfront), trading page sharing for
-                            # progress
-                            queue[:1] = [[r] for r in queue[0]]
-                            continue
-                        # nothing is running, every page is free, and a prompt still
-                        # does not fit: the pool is fundamentally undersized
-                        raise RuntimeError("KV page pool too small to admit any prompt; raise n_pages")
-                    continue  # everything admitted finished instantly -> re-admit / exit
-
-                # 2) make sure every running slot has pages for the next chunk
-                # (in-flight slots may already be several chunks ahead of the
-                # host mirror, so provision depth+1)
-                chunks_ahead: dict[int, int] = {}
-                for p in pending:
-                    for sid, req_snapshot in p["in_chunk"]:
-                        # a freed-and-re-admitted slot's pending entries belong to
-                        # the OLD request — they stopped advancing (done latched),
-                        # so they must not inflate the new request's lookahead
-                        if self._slots[sid].req is req_snapshot:
-                            chunks_ahead[sid] = chunks_ahead.get(sid, 0) + 1
-                run_ok = True
-                for slot_id in runnable:
-                    s = self._slots[slot_id]
-                    if s.req is None or s.done:
-                        continue  # may have been preempted while provisioning others
-                    lookahead = self.chunk * (1 + chunks_ahead.get(slot_id, 0))
-                    cap = max(
-                        _round_up(len(s.req.prompt), self.prompt_bucket),
-                        len(s.req.prompt) + sp.max_tokens,
-                    )
-                    target = min(s.seq_len + lookahead + 1, self.max_context, cap)
-                    while not self._ensure_capacity(slot_id, target):
-                        if pending:
-                            # free what in-flight chunks have finished before
-                            # resorting to preemption
-                            drain_pending()
-                            chunks_ahead = {}
-                            if self._slots[slot_id].req is None or self._slots[slot_id].done:
-                                break
-                            continue
-                        victim = self._preempt_youngest(queue)
-                        if victim is None:
-                            raise RuntimeError("KV page pool exhausted and nothing to preempt")
-                        stats["preemptions"] += 1
-                        active[victim] = False  # stop the decode mask advancing a freed slot
-                        admit_h[victim] = 0  # drop any not-yet-dispatched admission override
-                        if self._slots[slot_id].req is None:  # we preempted ourselves
-                            # let the surviving slots make progress before this
-                            # request is re-admitted, or the cycle never dispatches
-                            suspend_admission = True
-                            run_ok = False
-                            break
-                    if not run_ok:
-                        break
-                if not run_ok:
-                    continue
-
-                # 3) dispatch one compiled chunk for every active slot (async)
-                runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
-                if not runnable:
-                    continue
-                t0 = time.perf_counter()
-                control = np.concatenate(
-                    [
-                        np.stack(
-                            [active.astype(np.int32), admit_h, admit_seq_h,
-                             admit_tok_h, admit_budget_h, prompt_lens_h],
-                            axis=1,
-                        ),
-                        self._page_table,
-                    ],
-                    axis=1,
-                )
-                pc_dev = jnp.asarray(prompt_counts_h) if use_pen else jnp.zeros((1, 1), jnp.float32)
-                (self.pools, seq_lens, tok, done, budget, out_counts, key, packed) = chunk_fn(
-                    self.params, self.pools, jnp.asarray(control), seq_lens, tok, done, budget,
-                    out_counts, pc_dev, key,
-                )
-                admit_h[:] = 0  # consumed by this dispatch
-                stats["dispatch_block_s"] += time.perf_counter() - t0
-                stats["chunk_dispatches"] += 1
-                stats["slot_chunks"] += len(runnable)
-                suspend_admission = False  # a chunk dispatched: progress is real
-                packed.copy_to_host_async()  # ONE transfer request now (the old
-                # 4-array layout made this a loss: four extra per-chunk requests
-                # through the tunnel beat the batched device_get they were
-                # meant to hide; a single packed array flips that trade)
-                pending.append({
-                    "packed": packed,
-                    "in_chunk": [(i, self._slots[i].req) for i in runnable],
-                })
-
-                # 4) harvest the oldest chunk once the pipeline is full — the
-                # remaining queued chunks keep the device busy through the get
-                if len(pending) >= self.pipeline_depth:
-                    harvest_oldest()
-
-            # Any still-in-flight chunk holds only idle slots (done latched on
-            # device): every request is collected, nothing left to harvest.
-            stats["wall_s"] = time.perf_counter() - t_start
-            cap = stats["chunk_dispatches"] * self.n_slots * self.chunk
-            stats["slot_occupancy"] = stats["tokens_out"] / cap if cap else 0.0
-            return [results[i, j] for i in range(len(prompts)) for j in range(sp.n)]
-        except BaseException:
-            # Release every claimed slot/page so the engine survives a failed
-            # call (pool-exhausted RuntimeError, KeyboardInterrupt, ...) without
-            # a permanently shrunken free list. Nothing references the old page
-            # table after this: in-flight device chunks finish against the
-            # device-side copy they captured and their results are dropped.
-            for slot in self._slots:
-                if slot.req is not None:
-                    self._free_slot(slot)
-            active[:] = False
-            pending.clear()
-            raise
+            ids = [self.add_request(t) for t in prompts]
+            by_id: dict[int, list[dict[str, Any]]] = {}
+            while not self.stream_idle:
+                for rec in self.step():
+                    by_id[rec["request_id"]] = rec["outputs"]
+        finally:
+            # step() already released everything on an exception (end_stream is
+            # idempotent); on success this just finalizes stats
+            self.end_stream()
+        return [res for i in ids for res in by_id[i]]

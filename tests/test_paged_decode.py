@@ -423,3 +423,58 @@ def test_n_gang_splits_when_pool_tight(setup):
     for o in outs:
         assert o["token_ids"] == solo[0]["token_ids"]
     assert len(engine._free_pages) == engine.n_pages
+
+
+def test_streaming_api_dynamic_arrivals(setup):
+    """The serving API: requests added BETWEEN step() calls join the running
+    batch (continuous batching with dynamic arrivals) and produce the same
+    greedy outputs as a one-shot batch call."""
+    cfg, params = setup
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 11, 17, 3, 9]]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+
+    engine = make_engine(params, cfg)
+    batch = engine.generate_batch(prompts, sp)
+
+    engine.begin_stream(sp)
+    ids = [engine.add_request(prompts[0]), engine.add_request(prompts[1])]
+    got: dict[int, list] = {}
+    steps = 0
+    late = 2
+    while not engine.stream_idle or late < len(prompts):
+        for rec in engine.step():
+            got[rec["request_id"]] = rec["outputs"]
+        steps += 1
+        if late < len(prompts):  # trickle one new request in per step
+            ids.append(engine.add_request(prompts[late]))
+            late += 1
+    engine.end_stream()
+
+    assert len(got) == len(prompts)
+    for i, rid in enumerate(ids):
+        assert got[rid][0]["token_ids"] == batch[i]["token_ids"], i
+    assert engine._st is None
+    assert len(engine._free_pages) == engine.n_pages
+
+
+def test_streaming_api_guards(setup):
+    """Stream lifecycle contracts: step/add before begin raise; double begin
+    raises; end_stream mid-flight aborts and releases the pool."""
+    cfg, params = setup
+    engine = make_engine(params, cfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=4, stop_token_ids=())
+    with pytest.raises(RuntimeError, match="No active stream"):
+        engine.step()
+    with pytest.raises(RuntimeError, match="No active stream"):
+        engine.add_request([1, 2, 3])
+    engine.begin_stream(sp)
+    with pytest.raises(RuntimeError, match="already active"):
+        engine.begin_stream(sp)
+    engine.add_request([1, 2, 3, 4, 5])
+    engine.step()  # admit + dispatch
+    engine.end_stream()  # abort mid-request
+    assert len(engine._free_pages) == engine.n_pages
+    # engine remains fully usable
+    outs = engine.generate_batch([[1, 2, 3]], sp)
+    assert len(outs[0]["token_ids"]) == 4
