@@ -138,6 +138,7 @@ def run_generation(cfg: Any) -> Path:
             n_slots=batch_size,
             max_context=max_prompt + sp.max_tokens,
             quantize=cfg.get("quantize_weights"),
+            speculate_k=int(cfg.get("speculate_k", 0) or 0),
         )
     elif engine_kind == "dense":
         engine = DecodeEngine(params, model_cfg, pad_id=tokenizer.pad_id)

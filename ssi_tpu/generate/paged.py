@@ -116,6 +116,42 @@ def paged_attention(
     return out.reshape(n_slots, hq, hd)
 
 
+def paged_attention_multi(
+    q: jnp.ndarray,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    phys_table: jnp.ndarray,
+    base_lens: jnp.ndarray,
+) -> jnp.ndarray:
+    """Multi-token grouped-query attention over the paged pool (XLA gather) —
+    the verification pass of speculative decoding.
+
+    q: [slots, T, Hq, hd] (post-RoPE) — T draft tokens per slot at positions
+    ``base_lens-1 .. base_lens-1+T-1`` (all T written to pages beforehand);
+    base_lens: [slots] valid cache length INCLUDING the first draft token, so
+    draft token j attends over ``base_lens + j`` entries (its predecessors in
+    the draft included, its successors masked). Returns [slots, T, Hq, hd].
+    """
+    n_slots, t_q, hq, hd = q.shape
+    hkv = k_pool.shape[2] // hd
+    n_rep = hq // hkv
+
+    k = gather_pages(k_pool, phys_table, hkv)  # [S, M, Hkv, hd]
+    v = gather_pages(v_pool, phys_table, hkv)
+    m = k.shape[1]
+
+    qg = q.reshape(n_slots, t_q, hkv, n_rep, hd)
+    scale = 1.0 / (hd**0.5)
+    logits = jnp.einsum("btkgd,bmkd->bkgtm", qg, k.astype(q.dtype), preferred_element_type=jnp.float32) * scale
+    pos = jnp.arange(m, dtype=jnp.int32)[None, None, :]                      # [1, 1, M]
+    lens = base_lens[:, None, None] + jnp.arange(t_q, dtype=jnp.int32)[None, :, None]
+    valid = pos < lens                                                       # [S, T, M]
+    logits = jnp.where(valid[:, None, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bkgtm,bmkd->btkgd", probs.astype(v.dtype), v)
+    return out.reshape(n_slots, t_q, hq, hd)
+
+
 def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Causal self-attention over right-padded prompts (batched prefill).
 
@@ -229,6 +265,87 @@ def decode_step_tokens(
     return logits, {"k": kp, "v": vp}
 
 
+def decode_step_tokens_spec(
+    params: Any,
+    tokens: jnp.ndarray,
+    cfg: ConfigLlama3_2,
+    pools: dict[str, Any],
+    page_table: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    active: jnp.ndarray,
+    cap_lens: jnp.ndarray,
+    *,
+    n_pages: int,
+    attn_impl: str = "gather",
+) -> tuple[jnp.ndarray, dict[str, Any]]:
+    """Speculative verification step: advance every active slot by T candidate
+    tokens over the flat paged cache in ONE forward (one weights read for T
+    tokens — the whole point of speculation on a weights-bandwidth-bound step).
+
+    tokens: [slots, T] — column 0 is the slot's true next input token, columns
+    1..T-1 are n-gram draft candidates; seq_lens: [slots] valid cache length
+    BEFORE this step (token j sits at position ``seq_lens + j``); cap_lens:
+    [slots] hard per-slot write bound — draft positions at/beyond it land on
+    the trash page (they could never be emitted: the engine's page provisioning
+    and the budget both stop before ``cap_lens``).
+
+    K/V of ALL T tokens are written at their positions; rejected candidates
+    leave garbage beyond the accepted prefix that the advancing ``seq_lens``
+    masks and later tokens overwrite — the standard speculative-cache argument.
+    Returns (fp32 logits [slots, T, V], pools).
+    """
+    ps = pools["k"].shape[1]
+    n_slots, t_q = tokens.shape
+    positions = seq_lens[:, None] + jnp.arange(t_q, dtype=jnp.int32)[None, :]  # [slots, T]
+    cos, sin = _rope_for_positions(positions, cfg)  # [slots, T, hd]
+
+    max_pages = page_table.shape[1]
+    page_idx = jnp.clip(positions // ps, 0, max_pages - 1)
+    logical_ids = jnp.take_along_axis(page_table, page_idx, axis=1)  # [slots, T]
+    offsets = positions % ps
+    write_ok = jnp.logical_and(active[:, None], positions < cap_lens[:, None])
+    attn_lens = seq_lens + 1  # token j attends over attn_lens + j entries
+
+    h = params["embed"][tokens]  # [slots, T, D]
+    hd = cfg.head_dim
+    kp, vp = pools["k"], pools["v"]
+
+    # Multi-token verification currently runs on the XLA gather path for every
+    # attn_impl: the fused Pallas kernel is single-token (paged_pallas.py);
+    # a T-token variant is the natural follow-up once spec decode earns it.
+    del attn_impl
+    trash = pools["k"].shape[0] - 1
+
+    def body(carry, layer):
+        h, kp, vp, l = carry
+        base = l * n_pages
+        x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
+        q = _mm(x, layer["wq"]).reshape(n_slots, t_q, cfg.num_heads, hd)
+        k = _mm(x, layer["wk"]).reshape(n_slots, t_q, cfg.num_kv_heads, hd)
+        v = _mm(x, layer["wv"]).reshape(n_slots, t_q, cfg.num_kv_heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        phys_table = base + page_table
+        write_rows = jnp.where(write_ok, base + logical_ids, trash)  # [slots, T]
+        for t in range(t_q):  # static T: unrolled scatter per candidate
+            kp = kp.at[write_rows[:, t], offsets[:, t]].set(
+                k[:, t].astype(kp.dtype).reshape(n_slots, -1)
+            )
+            vp = vp.at[write_rows[:, t], offsets[:, t]].set(
+                v[:, t].astype(vp.dtype).reshape(n_slots, -1)
+            )
+        attn = paged_attention_multi(q, kp, vp, phys_table, attn_lens)
+        h = h + _mm(attn.reshape(n_slots, t_q, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
+        x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
+        h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])
+        return (h, kp, vp, l + 1), None
+
+    (h, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
+    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+    logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
+    return logits, {"k": kp, "v": vp}
+
+
 def prefill_prompts(
     params: Any,
     tokens: jnp.ndarray,
@@ -238,8 +355,16 @@ def prefill_prompts(
     *,
     n_pages: int,
     attn_impl: str = "gather",
-) -> dict[str, Any]:
+    hist: jnp.ndarray | None = None,
+    slot_ids: jnp.ndarray | None = None,
+) -> dict[str, Any] | tuple[dict[str, Any], jnp.ndarray]:
     """Prefill a BATCH of prompts into their pages (K/V write only — no logits).
+
+    With ``hist`` (+ ``slot_ids`` [B], speculative decoding): each row's tokens
+    are also recorded into the token-history buffer ``hist [n_slots+1, W]``
+    (last row = trash for pad rows) and ``(pools, hist)`` is returned — the
+    n-gram drafter matches against the prompt itself, where ASR-style traffic
+    gets most of its acceptance.
 
     tokens: [B, P] right-padded to the shared bucket length; page_ids:
     [B, P // ps] LOGICAL pages receiving each prompt's K/V — point unused rows
@@ -295,4 +420,8 @@ def prefill_prompts(
         return (h, kp, vp, l + 1), None
 
     (_, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
-    return {"k": kp, "v": vp}
+    pools = {"k": kp, "v": vp}
+    if hist is None:
+        return pools
+    hist = hist.at[slot_ids, :p].set(tokens)
+    return pools, hist

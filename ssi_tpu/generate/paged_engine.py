@@ -100,6 +100,7 @@ class _Stream:
     admit_budget: Any = None
     prompt_lens: Any = None
     prompt_counts: Any = None
+    hist: Any = None               # [n_slots+1, W+1] token history (speculate_k > 0)
     stats: dict = field(default_factory=dict)
     t_start: float = 0.0
 
@@ -129,6 +130,16 @@ class PagedDecodeEngine:
             minimizes done-slot latency.
         quantize: None (bf16 weights) or "int8" (weight-only per-channel int8
             for the layer stack — faster decode, not bitwise vs bf16).
+        speculate_k: draft length for n-gram speculative decoding (0 = off).
+            Greedy-only (temperature 0, no penalties, n=1). Each decode step
+            verifies 1 + k candidate tokens in ONE forward — one weights read
+            (the dominant HBM cost of decode) can emit up to k+1 tokens when
+            the drafter's bigram continuation from the slot's own token
+            history matches; outputs are EXACTLY the non-speculative greedy
+            outputs (acceptance is argmax equality, the lossless criterion).
+            Wins scale with traffic repetitiveness (ASR transcripts: the
+            continuation usually lives in the prompt); worst case ~costs the
+            extra attention/logits of k rejected candidates per step.
     """
 
     def __init__(
@@ -146,6 +157,7 @@ class PagedDecodeEngine:
         attn_impl: str = "auto",
         pipeline_depth: int = 2,
         quantize: str | None = None,
+        speculate_k: int = 0,
     ):
         if quantize == "int8":
             # weight-only int8 for the layer stack: halves the dominant HBM
@@ -173,6 +185,11 @@ class PagedDecodeEngine:
         self.prompt_bucket = prompt_bucket
         self.chunk = chunk
         self.pipeline_depth = max(1, int(pipeline_depth))
+        if not 0 <= speculate_k <= 7:
+            # the fused kernel writes candidates through an 8-row RMW window;
+            # k+1 <= 8 keeps every step's writes within two aligned windows
+            raise ValueError(f"speculate_k ({speculate_k}) must be in [0, 7]")
+        self.speculate_k = int(speculate_k)
         if attn_impl == "auto":
             # v5e, 1B, 32 slots x ~700-token contexts: the fused Pallas kernel
             # (in-kernel token write, aliased HBM pools, valid-pages-only DMA)
@@ -210,18 +227,30 @@ class PagedDecodeEngine:
     PREFILL_GROUPS = (8, 4, 2, 1)
 
     def _prefill_fn(self, p: int, group: int):
-        key = (p, group)
+        spec = self.speculate_k > 0
+        key = (p, group, spec)
         if key not in self._prefill_cache:
             cfg = self.cfg
             n_pages = self.n_pages
             attn_impl = self.attn_impl
 
-            def prefill(params, pools, tokens, page_ids):
-                return prefill_prompts(
-                    params, tokens, cfg, pools, page_ids, n_pages=n_pages, attn_impl=attn_impl
-                )
+            if spec:
+                # speculative mode also records prompt tokens into the n-gram
+                # history buffer (drafts match against the prompt itself)
+                def prefill(params, pools, tokens, page_ids, hist, slot_ids):
+                    return prefill_prompts(
+                        params, tokens, cfg, pools, page_ids, n_pages=n_pages,
+                        attn_impl=attn_impl, hist=hist, slot_ids=slot_ids,
+                    )
 
-            self._prefill_cache[key] = jax.jit(prefill, donate_argnums=(1,))
+                self._prefill_cache[key] = jax.jit(prefill, donate_argnums=(1, 4))
+            else:
+                def prefill(params, pools, tokens, page_ids):
+                    return prefill_prompts(
+                        params, tokens, cfg, pools, page_ids, n_pages=n_pages, attn_impl=attn_impl
+                    )
+
+                self._prefill_cache[key] = jax.jit(prefill, donate_argnums=(1,))
         return self._prefill_cache[key]
 
     def _copy_pages_fn(self, m: int):
@@ -245,6 +274,8 @@ class PagedDecodeEngine:
         return self._copy_fn_cache[m]
 
     def _chunk_fn(self, sp: SamplingParams):
+        if self.speculate_k > 0:
+            return self._chunk_fn_spec(sp)
         cache_key = (sp, self.chunk)
         if cache_key in self._chunk_fn_cache:
             return self._chunk_fn_cache[cache_key]
@@ -322,6 +353,136 @@ class PagedDecodeEngine:
             return pools, seq_lens, tok, done, budget, out_counts, key, packed
 
         fn = jax.jit(chunk, donate_argnums=(1,))
+        self._chunk_fn_cache[cache_key] = fn
+        return fn
+
+    def _chunk_fn_spec(self, sp: SamplingParams):
+        """Speculative decode-chunk program: each scan step drafts k candidate
+        continuations per slot from its own token history (most recent bigram
+        match — "prompt lookup" n-gram speculation), verifies all k+1 tokens
+        in ONE forward, and emits the longest argmax-matching prefix + one.
+        Greedy outputs are EXACTLY the non-speculative stream (lossless).
+
+        Signature differs from the base chunk: carries the history buffer
+        ``hist [n_slots+1, W+1]`` (trash row for pad prefill rows, trash
+        column for masked scatters) instead of penalty state."""
+        cache_key = (sp, self.chunk, self.speculate_k)
+        if cache_key in self._chunk_fn_cache:
+            return self._chunk_fn_cache[cache_key]
+        cfg = self.cfg
+        pad_id = self.pad_id
+        attn_impl = self.attn_impl
+        stop_ids = jnp.asarray(sp.stop_token_ids, jnp.int32) if sp.stop_token_ids else jnp.zeros((0,), jnp.int32)
+        n_pages = self.n_pages
+        t_q = self.speculate_k + 1
+        w = self.max_context
+        bucket = self.prompt_bucket
+        max_tok = sp.max_tokens
+        n_chunk = self.chunk
+
+        from ssi_tpu.generate.paged import decode_step_tokens_spec
+
+        def chunk(params, pools, control, seq_lens, tok, done, budget, hist, key):
+            active = control[:, 0] != 0
+            admit = control[:, 1] != 0
+            seq_lens = jnp.where(admit, control[:, 2], seq_lens)
+            tok = jnp.where(admit, control[:, 3], tok)
+            budget = jnp.where(admit, control[:, 4], budget)
+            prompt_lens = control[:, 5]
+            done = jnp.where(admit, False, done)
+            page_table = control[:, 6:]
+            # per-slot hard write bound (mirrors the host's page provisioning
+            # cap): candidates at/beyond it land on the trash page
+            cap = jnp.minimum(
+                jnp.maximum(((prompt_lens + bucket - 1) // bucket) * bucket, prompt_lens + max_tok), w
+            )
+            n_slots = tok.shape[0]
+            rows = jnp.arange(n_slots)
+            iota_t = jnp.arange(t_q, dtype=jnp.int32)
+            buf_w = n_chunk * t_q + 1  # +1 trash column for masked scatters
+
+            def step(carry, _):
+                pools, seq_lens, tok, done, budget, hist, out_buf, cursor, clp, nstep = carry
+                advance = jnp.logical_and(active, jnp.logical_not(done))
+                nstep = nstep + advance.astype(jnp.int32)
+                length = seq_lens  # position of the input token
+                # ---- n-gram draft: most recent bigram match in own history
+                histw = hist[:n_slots, :w]  # drop the trash row + trash column
+                b0 = histw[rows, jnp.clip(length - 1, 0, w - 1)]
+                posj = jnp.arange(w - 1, dtype=jnp.int32)
+                can = (
+                    (histw[:, :-1] == b0[:, None])
+                    & (histw[:, 1:] == tok[:, None])
+                    & ((posj + 1)[None, :] < length[:, None])
+                    & (length[:, None] >= 2)
+                )
+                jbest = jnp.max(jnp.where(can, posj[None, :], -1), axis=1)
+                found = jbest >= 0
+                gidx = jnp.clip(jbest[:, None] + 1 + iota_t[None, :], 0, w - 1)
+                cont = jnp.take_along_axis(histw, gidx, axis=1)  # [slots, T]
+                draft = jnp.concatenate(
+                    [tok[:, None], jnp.where(found[:, None], cont[:, 1:], pad_id)], axis=1
+                )
+                # ---- verify all T candidates in one forward
+                logits, pools = decode_step_tokens_spec(
+                    params, draft, cfg, pools, page_table, seq_lens, advance, cap,
+                    n_pages=n_pages, attn_impl=attn_impl,
+                )
+                out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [slots, T]
+                lse = jax.nn.logsumexp(logits, axis=-1)
+                lp = jnp.take_along_axis(logits, out[..., None], axis=-1)[..., 0] - lse
+                # ---- accept the longest matching prefix (+ the bonus token)
+                match = draft[:, 1:] == out[:, :-1]
+                accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+                n_full = jnp.minimum(1 + accepted, budget)
+                is_stop = jnp.isin(out, stop_ids) if stop_ids.size else jnp.zeros(out.shape, bool)
+                cand = jnp.logical_and(is_stop, iota_t[None, :] < n_full[:, None])
+                stop_j = jnp.min(jnp.where(cand, iota_t[None, :], t_q), axis=1)
+                stopped = stop_j < t_q
+                n_emit = jnp.where(stopped, stop_j + 1, n_full)
+                n_emit = jnp.where(advance, n_emit, 0)
+                newly_done = jnp.logical_and(advance, jnp.logical_or(stopped, budget - n_emit <= 0))
+                emit = iota_t[None, :] < n_emit[:, None]
+                # compact emitted tokens at each slot's cursor (masked -> trash col)
+                bidx = jnp.where(emit, cursor[:, None] + iota_t[None, :], buf_w - 1)
+                out_buf = out_buf.at[rows[:, None], bidx].set(jnp.where(emit, out, pad_id))
+                # emitted token j becomes position length+1+j of the history
+                hidx = jnp.where(emit, jnp.clip(length[:, None] + 1 + iota_t[None, :], 0, w), w)
+                hist = hist.at[rows[:, None], hidx].set(jnp.where(emit, out, 0))
+                cursor = cursor + n_emit
+                clp = clp + jnp.sum(jnp.where(jnp.logical_and(emit, advance[:, None]), lp, 0.0), axis=1)
+                seq_lens = seq_lens + n_emit
+                budget = budget - n_emit
+                last = jnp.clip(n_emit - 1, 0, t_q - 1)
+                tok = jnp.where(
+                    jnp.logical_and(advance, n_emit > 0),
+                    jnp.take_along_axis(out, last[:, None], axis=1)[:, 0],
+                    tok,
+                )
+                done = jnp.logical_or(done, newly_done)
+                return (pools, seq_lens, tok, done, budget, hist, out_buf, cursor, clp, nstep), None
+
+            out_buf0 = jnp.full((n_slots, buf_w), pad_id, jnp.int32)
+            cursor0 = jnp.zeros((n_slots,), jnp.int32)
+            clp0 = jnp.zeros((n_slots,), jnp.float32)
+            nstep0 = jnp.zeros((n_slots,), jnp.int32)
+            (pools, seq_lens, tok, done, budget, hist, out_buf, cursor, clp, nstep), _ = jax.lax.scan(
+                step, (pools, seq_lens, tok, done, budget, hist, out_buf0, cursor0, clp0, nstep0), None,
+                length=n_chunk,
+            )
+            packed = jnp.concatenate(
+                [
+                    out_buf[:, : n_chunk * t_q],
+                    done.astype(jnp.int32)[:, None],
+                    seq_lens[:, None],
+                    jax.lax.bitcast_convert_type(clp, jnp.int32)[:, None],
+                    nstep[:, None],  # spec-only 4th tail column: verify steps
+                ],
+                axis=1,
+            )
+            return pools, seq_lens, tok, done, budget, hist, key, packed
+
+        fn = jax.jit(chunk, donate_argnums=(1, 7))
         self._chunk_fn_cache[cache_key] = fn
         return fn
 
@@ -422,6 +583,15 @@ class PagedDecodeEngine:
             raise ValueError("sampling_params.n must be >= 1")
         if sp.n > self.n_slots:
             raise ValueError(f"sampling_params.n ({sp.n}) cannot exceed n_slots ({self.n_slots})")
+        if self.speculate_k > 0:
+            # lossless speculation is defined by argmax-equality — greedy only;
+            # n>1 page sharing would also need history-row forking (future work)
+            if sp.temperature != 0.0:
+                raise ValueError("speculate_k > 0 requires greedy decoding (temperature=0)")
+            if sp.uses_penalties:
+                raise ValueError("speculate_k > 0 does not compose with repetition/presence/frequency penalties")
+            if sp.n != 1:
+                raise ValueError("speculate_k > 0 requires sampling_params.n == 1")
         st = _Stream(
             sp=sp,
             key=key if key is not None else jax.random.key(0),
@@ -452,6 +622,10 @@ class PagedDecodeEngine:
         st.prompt_lens = np.zeros((n,), np.int32)
         st.out_counts = jnp.zeros((n, v) if st.use_pen else (1, 1), jnp.float32)
         st.prompt_counts = np.zeros((n, v) if st.use_pen else (1, 1), np.float32)
+        if self.speculate_k > 0:
+            # n-gram history: row n_slots = trash (pad prefill rows), column
+            # max_context = trash (masked emit scatters)
+            st.hist = jnp.zeros((n + 1, self.max_context + 1), jnp.int32)
         st.stats = self.last_stats = {
             "chunk_dispatches": 0,
             "slot_chunks": 0,          # sum over dispatches of runnable slots
@@ -465,6 +639,7 @@ class PagedDecodeEngine:
             "dispatch_block_s": 0.0,   # host-blocking part of async chunk dispatches
             "prefill_block_s": 0.0,
             "harvest_block_s": 0.0,    # blocked in device_get for chunk results
+            "verify_steps": 0,         # spec mode: advancing verify forwards
             "wall_s": 0.0,
         }
         st.t_start = time.perf_counter()
@@ -514,8 +689,13 @@ class PagedDecodeEngine:
         if st is None:
             return
         st.stats["wall_s"] = time.perf_counter() - st.t_start
-        cap = st.stats["chunk_dispatches"] * self.n_slots * self.chunk
+        cap = st.stats["chunk_dispatches"] * self.n_slots * self.chunk * (self.speculate_k + 1)
         st.stats["slot_occupancy"] = st.stats["tokens_out"] / cap if cap else 0.0
+        if self.speculate_k > 0:
+            # mean emitted tokens per verify forward (1.0 = speculation never
+            # accepted anything; upper bound = speculate_k + 1)
+            vs = st.stats["verify_steps"]
+            st.stats["tokens_per_verify"] = st.stats["tokens_out"] / vs if vs else 0.0
         # Release every claimed slot/page so the engine survives an aborted
         # stream without a permanently shrunken free list. In-flight device
         # chunks finish against the device-side state they captured and their
@@ -633,15 +813,23 @@ class PagedDecodeEngine:
             n_pages_row = bucket // self.page_size
             tokens = np.full((g, bucket), self.pad_id, np.int32)
             page_ids = np.full((g, n_pages_row), trash, np.int32)
+            slot_ids = np.full((g,), self.n_slots, np.int32)  # pad rows -> trash hist row
             for r, (slot_id, own_bucket) in enumerate(batch):
                 s = self._slots[slot_id]
                 tokens[r, : len(s.req.prompt)] = s.req.prompt
                 own_n = own_bucket // self.page_size
                 page_ids[r, :own_n] = self._page_table[slot_id, :own_n]
+                slot_ids[r] = slot_id
             t0 = time.perf_counter()
-            self.pools = self._prefill_fn(bucket, g)(
-                self.params, self.pools, jnp.asarray(tokens), jnp.asarray(page_ids)
-            )
+            if self.speculate_k > 0:
+                self.pools, st.hist = self._prefill_fn(bucket, g)(
+                    self.params, self.pools, jnp.asarray(tokens), jnp.asarray(page_ids),
+                    st.hist, jnp.asarray(slot_ids),
+                )
+            else:
+                self.pools = self._prefill_fn(bucket, g)(
+                    self.params, self.pools, jnp.asarray(tokens), jnp.asarray(page_ids)
+                )
             st.stats["prefill_block_s"] += time.perf_counter() - t0
             st.stats["prefill_dispatches"] += 1
             st.stats["prefill_rows"] += len(batch)
@@ -671,11 +859,14 @@ class PagedDecodeEngine:
         t0 = time.perf_counter()
         packed = np.asarray(jax.device_get(p["packed"]))
         st.stats["harvest_block_s"] += time.perf_counter() - t0
-        chunk = packed.shape[1] - 3
+        tail = 4 if self.speculate_k > 0 else 3  # spec adds a verify-steps column
+        chunk = packed.shape[1] - tail
         emitted_h = packed[:, :chunk]
         done_h = packed[:, chunk] != 0
         lens_h = packed[:, chunk + 1]
         clp_h = packed[:, chunk + 2].view(np.float32)
+        if self.speculate_k > 0:
+            st.stats["verify_steps"] += int(packed[:, chunk + 3].sum())
         for slot_id, req_snapshot in p["in_chunk"]:
             s = self._slots[slot_id]
             if s.req is not req_snapshot or s.done:
@@ -798,7 +989,10 @@ class PagedDecodeEngine:
             s = self._slots[slot_id]
             if s.req is None or s.done:
                 continue  # may have been preempted while provisioning others
-            lookahead = self.chunk * (1 + chunks_ahead.get(slot_id, 0))
+            # speculative steps advance up to k+1 tokens and WRITE one draft
+            # window past the final advance — provision for both
+            t_mult = self.speculate_k + 1
+            lookahead = self.chunk * t_mult * (1 + chunks_ahead.get(slot_id, 0)) + (t_mult - 1)
             cap = max(
                 _round_up(len(s.req.prompt), self.prompt_bucket),
                 len(s.req.prompt) + sp.max_tokens,
@@ -842,11 +1036,17 @@ class PagedDecodeEngine:
             ],
             axis=1,
         )
-        pc_dev = jnp.asarray(st.prompt_counts) if st.use_pen else jnp.zeros((1, 1), jnp.float32)
-        (self.pools, st.seq_lens, st.tok, st.done, st.budget, st.out_counts, st.key, packed) = st.chunk_fn(
-            self.params, self.pools, jnp.asarray(control), st.seq_lens, st.tok, st.done, st.budget,
-            st.out_counts, pc_dev, st.key,
-        )
+        if self.speculate_k > 0:
+            (self.pools, st.seq_lens, st.tok, st.done, st.budget, st.hist, st.key, packed) = st.chunk_fn(
+                self.params, self.pools, jnp.asarray(control), st.seq_lens, st.tok, st.done, st.budget,
+                st.hist, st.key,
+            )
+        else:
+            pc_dev = jnp.asarray(st.prompt_counts) if st.use_pen else jnp.zeros((1, 1), jnp.float32)
+            (self.pools, st.seq_lens, st.tok, st.done, st.budget, st.out_counts, st.key, packed) = st.chunk_fn(
+                self.params, self.pools, jnp.asarray(control), st.seq_lens, st.tok, st.done, st.budget,
+                st.out_counts, pc_dev, st.key,
+            )
         st.admit[:] = 0  # consumed by this dispatch
         st.stats["dispatch_block_s"] += time.perf_counter() - t0
         st.stats["chunk_dispatches"] += 1

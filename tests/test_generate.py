@@ -243,3 +243,62 @@ def test_run_generation_int8_config_path(tmp_path, synthetic_data):
     assert len(records) == 3
     # default stop set is active and the quantized tiny model may emit a stop
     assert all(1 <= len(r["outputs"][0]["token_ids"]) <= 4 for r in records)
+
+
+def test_run_generation_speculative_config_path(tmp_path, synthetic_data):
+    """speculate_k flows from the config into the paged engine and the
+    end-to-end generations are byte-identical to the non-speculative run
+    (lossless greedy speculation)."""
+    import copy
+
+    from ssi_tpu.config import Config
+    from ssi_tpu.generate import run_generation
+
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    base = {
+        "config_name": "generate",
+        "model_config": "tiny_test",
+        "speech": {"n_dsus": helpers.TINY_N_DSUS, "use_modality_tokens": True, "deduplicate": True},
+        "dtype": "fp32",
+        "model": str(model_dir),
+        "experiments_root_dir": str(tmp_path),
+        "tokenizer": {"path": str(model_dir / "original" / "tokenizer.model"), "max_seq_len": None},
+        "gen": {
+            "output_dir": None,
+            "output_filename": "generations.jsonl",
+            "output_config_filename": "generation_config.yaml",
+            "use_cfg_hash_subdir": False,
+            "split": "test",
+        },
+        "batch_size": 2,
+        "engine": "paged",
+        "tokenizer_decoding": {"truncate_at_eos": True, "skip_special_tokens": True},
+        "sampling_params": {
+            "stop_token_ids": None, "n": 1, "temperature": 0.0,
+            "top_p": 1, "max_tokens": 6, "top_k": -1,
+        },
+        "observability": False,
+        "data": {
+            "n_dsus": helpers.TINY_N_DSUS,
+            "test": {
+                "dataset": {
+                    "source": "synthetic/sft", "inference": True, "deduplicate": True,
+                    "filter_fn": None, "train_on_input": True,
+                    "column_map": {"input": "speech_tokens", "output": "transcript"},
+                    "new_system_prompt": "Transcribe. ", "use_modality_tokens": True,
+                    "n_samples": 3, "split": "test",
+                },
+            },
+        },
+    }
+    runs = {}
+    for k in (0, 3):
+        cfg_d = copy.deepcopy(base)
+        cfg_d["gen"]["output_dir"] = str(tmp_path / f"gens_spec{k}")
+        cfg_d["speculate_k"] = k
+        out_dir = run_generation(Config(cfg_d))
+        runs[k] = [json.loads(l) for l in (out_dir / "generations.jsonl").read_text().splitlines()]
+    assert len(runs[0]) == 3
+    for r0, r3 in zip(runs[0], runs[3]):
+        assert r0["outputs"][0]["token_ids"] == r3["outputs"][0]["token_ids"]
+        assert r0["outputs"][0]["text"] == r3["outputs"][0]["text"]

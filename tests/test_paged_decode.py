@@ -478,3 +478,100 @@ def test_streaming_api_guards(setup):
     # engine remains fully usable
     outs = engine.generate_batch([[1, 2, 3]], sp)
     assert len(outs[0]["token_ids"]) == 4
+
+
+# --- speculative decoding (device-side n-gram drafting) --------------------------
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_spec_decode_matches_naive(setup, k):
+    """speculate_k > 0 must be LOSSLESS: outputs exactly equal the naive
+    sequential greedy stream (acceptance is argmax equality), across slot
+    refills, with real acceptance happening (tokens_per_verify > 1 on this
+    workload — tiny-model greedy streams cycle, feeding the bigram drafter)."""
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 11, 17, 3, 9, 14]]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, stop_token_ids=())
+
+    engine = make_engine(params, cfg, n_slots=4, speculate_k=k)
+    outs = engine.generate_batch(prompts, sp)
+
+    for i, (prompt, out) in enumerate(zip(prompts, outs)):
+        expected = naive_greedy(params, cfg, prompt, 12)
+        assert out["token_ids"] == expected, f"k={k} prompt {i}"
+        assert out["finish_reason"] == "length"
+    st = engine.last_stats
+    assert st["verify_steps"] > 0
+    assert st["tokens_out"] == 6 * 12
+    assert st["tokens_per_verify"] > 1.0  # speculation actually accepted tokens
+    assert len(engine._free_pages) == engine.n_pages  # no page leaks
+    assert all(s.req is None for s in engine._slots)
+
+
+def test_spec_decode_stop_and_budget(setup):
+    """Stop tokens fire at the exact sequential position even when emitted
+    mid-acceptance-window, and max_tokens budgets are exact."""
+    cfg, params = setup
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, cfg.vocab_size, 9).tolist()
+    seq = naive_greedy(params, cfg, prompt, 8)
+
+    engine = make_engine(params, cfg, speculate_k=3)
+    # first emitted token as stop
+    out = engine.generate_batch(
+        [prompt], SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=(seq[0],))
+    )[0]
+    assert out["token_ids"] == [seq[0]]
+    assert out["finish_reason"] == "stop"
+    assert out["stop_reason"] == seq[0]
+
+    # a later first-occurrence token as stop: must truncate exactly there
+    stop_at = next((i for i in range(1, 8) if seq[i] not in seq[:i]), None)
+    if stop_at is not None:
+        sp2 = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=(seq[stop_at],))
+        out = engine.generate_batch([prompt], sp2)[0]
+        assert out["token_ids"] == seq[: stop_at + 1]
+        assert out["finish_reason"] == "stop"
+
+    # budget exact, clp matches the non-speculative engine
+    sp3 = SamplingParams(temperature=0.0, max_tokens=3, stop_token_ids=())
+    out = engine.generate_batch([prompt], sp3)[0]
+    assert out["token_ids"] == seq[:3]
+    base = make_engine(params, cfg).generate_batch([prompt], sp3)[0]
+    assert out["cumulative_logprob"] == pytest.approx(base["cumulative_logprob"], abs=1e-3)
+
+
+def test_spec_decode_guards(setup):
+    """Lossless speculation is greedy/n=1-only; out-of-range k rejected."""
+    cfg, params = setup
+    with pytest.raises(ValueError, match="speculate_k"):
+        make_engine(params, cfg, speculate_k=-1)
+    with pytest.raises(ValueError, match="speculate_k"):
+        make_engine(params, cfg, speculate_k=8)
+
+    engine = make_engine(params, cfg, speculate_k=2)
+    with pytest.raises(ValueError, match="greedy"):
+        engine.generate_batch([[1, 2]], SamplingParams(temperature=0.7, max_tokens=2))
+    with pytest.raises(ValueError, match="penalt"):
+        engine.generate_batch(
+            [[1, 2]], SamplingParams(temperature=0.0, max_tokens=2, repetition_penalty=1.2)
+        )
+    with pytest.raises(ValueError, match="n == 1"):
+        engine.generate_batch([[1, 2]], SamplingParams(temperature=0.0, max_tokens=2, n=2))
+
+
+def test_spec_decode_streaming_refills(setup):
+    """Slot reuse under speculation: a freed slot's history row is reseeded by
+    the next admission's prefill (stale tail beyond the new length is never
+    read); dynamic arrivals match the batch path."""
+    cfg, params = setup
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, cfg.vocab_size, int(rng.integers(3, 20))).tolist() for _ in range(9)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+
+    engine = make_engine(params, cfg, n_slots=3, speculate_k=2)
+    outs = engine.generate_batch(prompts, sp)
+    for prompt, out in zip(prompts, outs):
+        assert out["token_ids"] == naive_greedy(params, cfg, prompt, 6)
+    assert len(engine._free_pages) == engine.n_pages
