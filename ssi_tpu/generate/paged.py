@@ -310,10 +310,11 @@ def decode_step_tokens_spec(
     hd = cfg.head_dim
     kp, vp = pools["k"], pools["v"]
 
-    # Multi-token verification currently runs on the XLA gather path for every
-    # attn_impl: the fused Pallas kernel is single-token (paged_pallas.py);
-    # a T-token variant is the natural follow-up once spec decode earns it.
-    del attn_impl
+    if attn_impl == "pallas":
+        from ssi_tpu.generate.paged_pallas import WRITE_WIN, paged_attention_pallas_multi
+    else:
+        paged_attention_pallas_multi = None
+
     trash = pools["k"].shape[0] - 1
 
     def body(carry, layer):
@@ -326,15 +327,31 @@ def decode_step_tokens_spec(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         phys_table = base + page_table
-        write_rows = jnp.where(write_ok, base + logical_ids, trash)  # [slots, T]
-        for t in range(t_q):  # static T: unrolled scatter per candidate
-            kp = kp.at[write_rows[:, t], offsets[:, t]].set(
-                k[:, t].astype(kp.dtype).reshape(n_slots, -1)
+        if paged_attention_pallas_multi is not None:
+            # fused kernel: T tokens persist via at most two aligned 8-row RMW
+            # windows; window rows resolved here (trash = skip — see kernel doc)
+            g1 = (seq_lens // WRITE_WIN) * WRITE_WIN
+            g2 = g1 + WRITE_WIN
+            l1 = jnp.take_along_axis(page_table, jnp.clip(g1 // ps, 0, max_pages - 1)[:, None], 1)[:, 0]
+            l2 = jnp.take_along_axis(page_table, jnp.clip(g2 // ps, 0, max_pages - 1)[:, None], 1)[:, 0]
+            use1 = jnp.logical_and(active, seq_lens < cap_lens)
+            use2 = jnp.logical_and(active, jnp.logical_and(g2 < cap_lens, g2 <= seq_lens + t_q - 1))
+            row1 = jnp.where(use1, base + l1, trash)
+            row2 = jnp.where(use2, base + l2, trash)
+            attn, kp, vp = paged_attention_pallas_multi(
+                q, kp, vp, phys_table, seq_lens,
+                k_new=k, v_new=v, row_w1=row1, row_w2=row2,
             )
-            vp = vp.at[write_rows[:, t], offsets[:, t]].set(
-                v[:, t].astype(vp.dtype).reshape(n_slots, -1)
-            )
-        attn = paged_attention_multi(q, kp, vp, phys_table, attn_lens)
+        else:
+            write_rows = jnp.where(write_ok, base + logical_ids, trash)  # [slots, T]
+            for t in range(t_q):  # static T: unrolled scatter per candidate
+                kp = kp.at[write_rows[:, t], offsets[:, t]].set(
+                    k[:, t].astype(kp.dtype).reshape(n_slots, -1)
+                )
+                vp = vp.at[write_rows[:, t], offsets[:, t]].set(
+                    v[:, t].astype(vp.dtype).reshape(n_slots, -1)
+                )
+            attn = paged_attention_multi(q, kp, vp, phys_table, attn_lens)
         h = h + _mm(attn.reshape(n_slots, t_q, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
         x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
         h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])

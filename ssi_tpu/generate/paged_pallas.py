@@ -395,3 +395,362 @@ def paged_attention_pallas(
         q2, stripe, tile_mat, kn, vn, k2, v2,
     )
     return attn, k_out, v_out
+
+
+# --- multi-token verification kernel (speculative decoding) ----------------------
+#
+# Advances T = speculate_k + 1 candidate tokens per slot in one call: the
+# history pages are DMA'd once and attended by ALL T tokens (T*Hq q rows feed
+# the MXU far better than the single-token kernel's Hq), and the T in-flight
+# tokens attend each other from registers under a causal bias — pages are only
+# ever READ for positions < hist_len, so there is no same-call RAW hazard.
+#
+# Token persistence: the T tokens occupy CONSECUTIVE positions
+# [hist_len, hist_len + T); with T <= WRITE_WIN and ps % WRITE_WIN == 0 the
+# span covers at most TWO aligned 8-row windows (a page boundary is itself
+# 8-aligned), so the write is at most two RMW window DMAs per pool. The caller
+# precomputes each window's physical row (trash = skip: window unused, slot
+# inactive, or window start beyond the slot's write cap — a beyond-cap token
+# inside a LIVE window lands harmlessly in its own provisioned page's never-
+# read tail).
+
+
+def _kernel_multi(
+    # scalar-prefetch operands (SMEM)
+    page_table_ref,  # [slots, max_pages] int32 physical rows
+    hist_lens_ref,   # [slots] int32 — tokens resident in pages BEFORE this step
+    row1_ref,        # [slots] int32 physical row of write window 1 (trash = skip)
+    row2_ref,        # [slots] int32 physical row of write window 2 (trash = skip)
+    # array operands
+    q2_ref,          # [1, T*Hq, Hkv*hd] VMEM — block-diagonal q, t-major rows
+    stripe_ref,      # [T*Hq, Hkv*hd] 0/1 f32
+    tile_ref,        # [hd, Hkv*hd] 0/1 f32
+    bias_ref,        # [T*Hq, T] f32 additive causal bias for the register block
+    knew_ref,        # [1, T, Hkv*hd] VMEM — the T tokens' K (pool dtype)
+    vnew_ref,
+    k_hbm,           # [rows, ps, Hkv*hd] ANY (interpret: whole-array VMEM)
+    v_hbm,
+    out_ref,         # [1, T*Hq, hd] VMEM
+    k_out,
+    v_out,
+    # scratch (TPU path)
+    kbuf, vbuf,      # [n_buf, max_pages*ps, Hkv*hd] VMEM flat page buffers
+    wbuf_k, wbuf_v,  # [2, WRITE_WIN, Hkv*hd] VMEM — two RMW windows
+    sems,            # DMA semaphores [2, n_buf, max_pages]
+    wsems,           # DMA semaphores [2, 2] — (k/v, window)
+    *,
+    ps: int,
+    hd: int,
+    interpret: bool,
+):
+    b = pl.program_id(0)
+    n_slots = pl.num_programs(0)
+    hist_len = hist_lens_ref[b]
+    n_valid = (hist_len + ps - 1) // ps
+    th = q2_ref.shape[1]
+    t_q = knew_ref.shape[1]
+    trash = k_hbm.shape[0] - 1
+    row1 = row1_ref[b]
+    row2 = row2_ref[b]
+    # window geometry: d_t = in-span lane of token t relative to window 1
+    off1 = ((hist_len % ps) // WRITE_WIN) * WRITE_WIN
+    base_lane = hist_len % WRITE_WIN  # == hist_len%ps - off1
+    # window 2 wraps to the next page's row 0 when window 1 is the page's last;
+    # written with the * WRITE_WIN outermost so Mosaic can prove 8-alignment
+    off2 = (((hist_len % ps) // WRITE_WIN + 1) % (ps // WRITE_WIN)) * WRITE_WIN
+
+    if interpret:
+        @pl.when(b == 0)
+        def _carry_pool():
+            k_out[...] = k_hbm[...]
+            v_out[...] = v_hbm[...]
+
+        for t in range(t_q):
+            d_t = base_lane + t
+
+            @pl.when(jnp.logical_and(d_t < WRITE_WIN, row1 != trash))
+            def _w1():
+                k_out[row1, pl.ds(off1 + d_t, 1)] = knew_ref[0, pl.ds(t, 1)]
+                v_out[row1, pl.ds(off1 + d_t, 1)] = vnew_ref[0, pl.ds(t, 1)]
+
+            @pl.when(jnp.logical_and(d_t >= WRITE_WIN, row2 != trash))
+            def _w2():
+                k_out[row2, pl.ds(off2 + d_t - WRITE_WIN, 1)] = knew_ref[0, pl.ds(t, 1)]
+                v_out[row2, pl.ds(off2 + d_t - WRITE_WIN, 1)] = vnew_ref[0, pl.ds(t, 1)]
+    else:
+        n_buf = kbuf.shape[0]
+        cur = jax.lax.rem(b, n_buf)
+
+        def issue_slot(s, buf):
+            nv = (hist_lens_ref[s] + ps - 1) // ps
+
+            def go(i, _):
+                page = page_table_ref[s, i]
+                pltpu.make_async_copy(
+                    k_hbm.at[page], kbuf.at[buf, pl.ds(i * ps, ps)], sems.at[0, buf, i]
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[page], vbuf.at[buf, pl.ds(i * ps, ps)], sems.at[1, buf, i]
+                ).start()
+                return 0
+
+            jax.lax.fori_loop(0, nv, go, 0)
+
+        @pl.when(b == 0)
+        def _first():
+            kbuf[...] = jnp.zeros_like(kbuf)  # see single-token kernel: NaN guard
+            vbuf[...] = jnp.zeros_like(vbuf)
+            issue_slot(0, 0)
+
+        # start both windows' RMW reads now; modify/write-back after the dots
+        rk1 = pltpu.make_async_copy(k_hbm.at[row1, pl.ds(off1, WRITE_WIN)], wbuf_k.at[0], wsems.at[0, 0])
+        rv1 = pltpu.make_async_copy(v_hbm.at[row1, pl.ds(off1, WRITE_WIN)], wbuf_v.at[0], wsems.at[1, 0])
+        rk2 = pltpu.make_async_copy(k_hbm.at[row2, pl.ds(off2, WRITE_WIN)], wbuf_k.at[1], wsems.at[0, 1])
+        rv2 = pltpu.make_async_copy(v_hbm.at[row2, pl.ds(off2, WRITE_WIN)], wbuf_v.at[1], wsems.at[1, 1])
+        rk1.start()
+        rv1.start()
+
+        @pl.when(row2 != trash)
+        def _r2():
+            rk2.start()
+            rv2.start()
+
+        if n_buf > 1:
+            @pl.when(b + 1 < n_slots)
+            def _prefetch_next():
+                issue_slot(b + 1, jax.lax.rem(b + 1, n_buf))
+
+        def wait_one(i, _):
+            pltpu.make_async_copy(
+                k_hbm.at[page_table_ref[b, i]], kbuf.at[cur, pl.ds(i * ps, ps)], sems.at[0, cur, i]
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[page_table_ref[b, i]], vbuf.at[cur, pl.ds(i * ps, ps)], sems.at[1, cur, i]
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_valid, wait_one, 0)
+
+    # ---- exact softmax: flat history buffer + in-flight register block ----------
+    if interpret:
+        q2 = q2_ref[0].astype(jnp.float32)
+        m0 = jnp.full((th, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((th, 1), jnp.float32)
+        a0 = jnp.zeros((th, q2.shape[1]), jnp.float32)
+
+        def body(i, carry):
+            m_prev, l_prev, acc = carry
+            page = page_table_ref[b, i]
+            k = k_out[page].astype(jnp.float32)
+            v = v_out[page].astype(jnp.float32)
+            s = jax.lax.dot_general(q2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, (th, ps), 1)
+            s = jnp.where(pos < hist_len, s, NEG_INF)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+            return m_new, l_new, acc
+
+        m_hist, l_hist, acc = jax.lax.fori_loop(0, n_valid, body, (m0, l0, a0))
+
+        kn = knew_ref[0].astype(jnp.float32)  # [T, kvd]
+        vn = vnew_ref[0].astype(jnp.float32)
+        s_new = jax.lax.dot_general(q2, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s_new = s_new + bias_ref[:]
+        m_fin = jnp.maximum(m_hist, jnp.max(s_new, axis=1, keepdims=True))
+        alpha = jnp.exp(m_hist - m_fin)
+        p_new = jnp.exp(s_new - m_fin)
+        l_fin = l_hist * alpha + jnp.sum(p_new, axis=1, keepdims=True)
+        acc_fin = acc * alpha + jnp.dot(p_new, vn, preferred_element_type=jnp.float32)
+    else:
+        q2 = q2_ref[0].astype(k_hbm.dtype)  # bf16 MXU operands, f32 accumulation
+        k_flat = kbuf[cur]
+        v_flat = vbuf[cur]
+        t_flat = k_flat.shape[0]
+        s = jax.lax.dot_general(
+            q2, k_flat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [TH, T_flat]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (th, t_flat), 1)
+        s = jnp.where(pos < hist_len, s, NEG_INF)
+
+        kn = knew_ref[0]  # [T, kvd] pool dtype; T >= 2 so a real MXU dot is safe
+        vn = vnew_ref[0]
+        s_new = jax.lax.dot_general(
+            q2, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + bias_ref[:]  # [TH, T]
+
+        m_fin = jnp.maximum(
+            jnp.max(s, axis=1, keepdims=True), jnp.max(s_new, axis=1, keepdims=True)
+        )
+        p = jnp.exp(s - m_fin)
+        p_new = jnp.exp(s_new - m_fin)
+        l_fin = jnp.sum(p, axis=1, keepdims=True) + jnp.sum(p_new, axis=1, keepdims=True)
+        acc_fin = jax.lax.dot_general(
+            p.astype(v_flat.dtype), v_flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            p_new.astype(vn.dtype), vn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # ---- token-write RMW tail ----------------------------------------------------
+    if not interpret:
+        rk1.wait()
+        rv1.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (WRITE_WIN, knew_ref.shape[2]), 0)
+        for t in range(t_q):
+            d_t = base_lane + t  # scalar; lane==d_t has no match when d_t >= 8
+            wbuf_k[0] = jnp.where(lane == d_t, knew_ref[0, t], wbuf_k[0])
+            wbuf_v[0] = jnp.where(lane == d_t, vnew_ref[0, t], wbuf_v[0])
+        wk1 = pltpu.make_async_copy(wbuf_k.at[0], k_out.at[row1, pl.ds(off1, WRITE_WIN)], wsems.at[0, 0])
+        wv1 = pltpu.make_async_copy(wbuf_v.at[0], v_out.at[row1, pl.ds(off1, WRITE_WIN)], wsems.at[1, 0])
+        wk1.start()
+        wv1.start()
+
+        @pl.when(row2 != trash)
+        def _w2():
+            rk2.wait()
+            rv2.wait()
+            for t in range(t_q):
+                d_t = base_lane + t - WRITE_WIN  # lane==d_t: no match when d_t < 0
+                wbuf_k[1] = jnp.where(lane == d_t, knew_ref[0, t], wbuf_k[1])
+                wbuf_v[1] = jnp.where(lane == d_t, vnew_ref[0, t], wbuf_v[1])
+            pltpu.make_async_copy(wbuf_k.at[1], k_out.at[row2, pl.ds(off2, WRITE_WIN)], wsems.at[0, 1]).start()
+            pltpu.make_async_copy(wbuf_v.at[1], v_out.at[row2, pl.ds(off2, WRITE_WIN)], wsems.at[1, 1]).start()
+
+    l = jnp.maximum(l_fin, 1e-30)
+    masked = acc_fin * stripe_ref[:] / l  # [TH, Hkv*hd]
+    out = jax.lax.dot_general(
+        masked, tile_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TH, hd]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+    if not interpret:
+        wk1.wait()
+        wv1.wait()
+
+        @pl.when(row2 != trash)
+        def _w2_wait():
+            pltpu.make_async_copy(wbuf_k.at[1], k_out.at[row2, pl.ds(off2, WRITE_WIN)], wsems.at[0, 1]).wait()
+            pltpu.make_async_copy(wbuf_v.at[1], v_out.at[row2, pl.ds(off2, WRITE_WIN)], wsems.at[1, 1]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_attention_pallas_multi(
+    q: jnp.ndarray,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    page_table: jnp.ndarray,
+    hist_lens: jnp.ndarray,
+    *,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    row_w1: jnp.ndarray,
+    row_w2: jnp.ndarray,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused T-token write + verification GQA over the paged KV pool.
+
+    q: [slots, T, Hq, hd] post-RoPE draft queries (token t at position
+    ``hist_lens + t``); hist_lens: [slots] tokens resident in pages BEFORE this
+    step; k_new/v_new: [slots, T, Hkv, hd]; row_w1/row_w2: [slots] physical
+    rows of the (at most two) aligned 8-row write windows covering positions
+    [hist_lens, hist_lens+T) — point unused/inactive windows at the trash row
+    to skip their write. Token t attends history + drafts 0..t (causal in the
+    register block). Returns (attn [slots, T, Hq, hd], k_pool, v_pool).
+    """
+    n_slots, t_q, hq, hd = q.shape
+    n_rows, ps, kvd = k_pool.shape
+    hkv = kvd // hd
+    n_rep = hq // hkv
+    max_pages = page_table.shape[1]
+    th = t_q * hq
+    if ps % WRITE_WIN != 0:
+        raise ValueError(f"page_size ({ps}) must be a multiple of {WRITE_WIN}")
+    if t_q > WRITE_WIN:
+        raise ValueError(f"T ({t_q}) must be <= {WRITE_WIN} (two-window write design)")
+    if t_q < 2:
+        raise ValueError("T must be >= 2 (use paged_attention_pallas for T == 1)")
+
+    heads = jnp.arange(hq, dtype=jnp.int32)
+    onehot = (heads[:, None] // n_rep == jnp.arange(hkv, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    q2 = (q.astype(jnp.float32) * (hd ** -0.5))[:, :, :, None, :] * onehot[None, None, :, :, None]
+    q2 = q2.reshape(n_slots, th, kvd)
+    stripe = jnp.tile(jnp.repeat(onehot, hd, axis=1), (t_q, 1))  # [TH, kvd]
+    d = jnp.arange(hd, dtype=jnp.int32)
+    tile_mat = (jnp.arange(kvd, dtype=jnp.int32)[None, :] % hd == d[:, None]).astype(jnp.float32)
+    # causal bias over the register block: row r = t*Hq + h attends draft j <= t
+    row_t = jnp.arange(th, dtype=jnp.int32) // hq
+    bias = jnp.where(
+        jnp.arange(t_q, dtype=jnp.int32)[None, :] <= row_t[:, None], 0.0, NEG_INF
+    ).astype(jnp.float32)
+
+    kn = k_new.astype(k_pool.dtype).reshape(n_slots, t_q, kvd)
+    vn = v_new.astype(v_pool.dtype).reshape(n_slots, t_q, kvd)
+
+    flat_tokens = max_pages * ps
+    per_buf_bytes = 2 * flat_tokens * kvd * k_pool.dtype.itemsize
+    n_buf = 2 if 2 * per_buf_bytes <= _FLAT_VMEM_BUDGET else 1
+    if n_buf * per_buf_bytes > 2 * _FLAT_VMEM_BUDGET:
+        raise ValueError(
+            f"max_context ({flat_tokens} tokens/slot) exceeds the flat-buffer VMEM "
+            f"budget; shrink max_context or page the kernel"
+        )
+
+    if interpret:
+        pool_in_spec = pl.BlockSpec((n_rows, ps, kvd), lambda b, *_: (0, 0, 0))
+        pool_out_spec = pl.BlockSpec((n_rows, ps, kvd), lambda b, *_: (0, 0, 0))
+        aliases = {}
+    else:
+        pool_in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        pool_out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        # flat positional inputs (4 scalar-prefetch + 6 arrays): k2/v2 at 10/11
+        aliases = {10: 1, 11: 2}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_slots,),
+        in_specs=[
+            pl.BlockSpec((1, th, kvd), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((th, kvd), lambda b, *_: (0, 0)),
+            pl.BlockSpec((hd, kvd), lambda b, *_: (0, 0)),
+            pl.BlockSpec((th, t_q), lambda b, *_: (0, 0)),
+            pl.BlockSpec((1, t_q, kvd), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, t_q, kvd), lambda b, *_: (b, 0, 0)),
+            pool_in_spec,
+            pool_in_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, hd), lambda b, *_: (b, 0, 0)),
+            pool_out_spec,
+            pool_out_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, flat_tokens, kvd), k_pool.dtype),
+            pltpu.VMEM((n_buf, flat_tokens, kvd), v_pool.dtype),
+            pltpu.VMEM((2, WRITE_WIN, kvd), k_pool.dtype),
+            pltpu.VMEM((2, WRITE_WIN, kvd), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, n_buf, max_pages)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    kernel = functools.partial(_kernel_multi, ps=ps, hd=hd, interpret=interpret)
+    attn, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_slots, th, hd), q.dtype),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ],
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(
+        page_table.astype(jnp.int32), hist_lens.astype(jnp.int32),
+        row_w1.astype(jnp.int32), row_w2.astype(jnp.int32),
+        q2, stripe, tile_mat, bias, kn, vn, k_pool, v_pool,
+    )
+    return attn.reshape(n_slots, t_q, hq, hd), k_out, v_out

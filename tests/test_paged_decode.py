@@ -575,3 +575,85 @@ def test_spec_decode_streaming_refills(setup):
     for prompt, out in zip(prompts, outs):
         assert out["token_ids"] == naive_greedy(params, cfg, prompt, 6)
     assert len(engine._free_pages) == engine.n_pages
+
+
+def test_pallas_multi_kernel_parity_interpret(setup):
+    """Fused T-token verification kernel (interpret) == per-token scatter +
+    gather-path reference, across window-spanning alignments: hist_len mid-
+    window (drafts span two 8-row windows), 8-aligned, page-boundary-crossing,
+    and an inactive slot (no writes, output ignored)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ssi_tpu.generate.paged import init_pools, paged_attention_multi
+    from ssi_tpu.generate.paged_pallas import WRITE_WIN, paged_attention_pallas_multi
+
+    cfg, params = setup
+    rng = np.random.default_rng(8)
+    slots, ps, max_pages, n_pages, t_q = 4, 8, 6, 48, 4
+    pools = init_pools(cfg, n_pages, ps, dtype=jnp.float32)
+    kp = jnp.asarray(rng.standard_normal(pools["k"].shape), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal(pools["v"].shape), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((slots, t_q, cfg.num_heads, cfg.head_dim)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((slots, t_q, cfg.num_kv_heads, cfg.head_dim)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((slots, t_q, cfg.num_kv_heads, cfg.head_dim)), jnp.float32)
+    logical = np.stack([rng.choice(n_pages, max_pages, replace=False) for _ in range(slots)]).astype(np.int32)
+    base = 1 * n_pages  # layer-1 rows
+    phys = jnp.asarray(base + logical)
+    # hist 5: drafts at 5..8 span window [0,8) AND window [8,16) (page crossing
+    # at ps=8); hist 8: aligned start; hist 2*ps-3: crossing; hist 3*ps: aligned
+    hist = jnp.asarray([5, ps, 2 * ps - 3, 3 * ps], jnp.int32)
+    active = jnp.asarray([True, True, True, False])
+    cap = jnp.full((slots,), max_pages * ps, jnp.int32)  # ample: all tokens persist
+    trash = kp.shape[0] - 1
+
+    # reference: per-token scatter + gather attention (the spec XLA path)
+    positions = hist[:, None] + jnp.arange(t_q)[None, :]
+    logical_ids = jnp.take_along_axis(jnp.asarray(logical), positions // ps, axis=1)
+    offs = positions % ps
+    rows_ref = jnp.where(active[:, None], base + logical_ids, trash)
+    kp_ref, vp_ref = kp, vp
+    for t in range(t_q):
+        kp_ref = kp_ref.at[rows_ref[:, t], offs[:, t]].set(k_new[:, t].reshape(slots, -1))
+        vp_ref = vp_ref.at[rows_ref[:, t], offs[:, t]].set(v_new[:, t].reshape(slots, -1))
+    ref = paged_attention_multi(q, kp_ref, vp_ref, phys, hist + 1)
+
+    # kernel window rows (mirrors decode_step_tokens_spec's resolution)
+    g1 = (hist // WRITE_WIN) * WRITE_WIN
+    g2 = g1 + WRITE_WIN
+    l1 = jnp.take_along_axis(jnp.asarray(logical), jnp.clip(g1 // ps, 0, max_pages - 1)[:, None], 1)[:, 0]
+    l2 = jnp.take_along_axis(jnp.asarray(logical), jnp.clip(g2 // ps, 0, max_pages - 1)[:, None], 1)[:, 0]
+    row1 = jnp.where(jnp.logical_and(active, hist < cap), base + l1, trash)
+    row2 = jnp.where(
+        jnp.logical_and(active, jnp.logical_and(g2 < cap, g2 <= hist + t_q - 1)), base + l2, trash
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got, kp_out, vp_out = paged_attention_pallas_multi(
+            q, kp, vp, phys, hist, k_new=k_new, v_new=v_new,
+            row_w1=row1, row_w2=row2, interpret=True,
+        )
+    np.testing.assert_allclose(np.asarray(got)[:3], np.asarray(ref)[:3], rtol=2e-5, atol=2e-5)
+    # pool contents identical everywhere except the trash row
+    np.testing.assert_array_equal(np.asarray(kp_out)[:-1], np.asarray(kp_ref)[:-1])
+    np.testing.assert_array_equal(np.asarray(vp_out)[:-1], np.asarray(vp_ref)[:-1])
+
+
+def test_spec_decode_pallas_e2e_interpret(setup):
+    """Spec decode through the ENGINE with attn_impl='pallas' (interpret):
+    pallas flash prefill + fused multi-token verification across several
+    verify rounds must stay lossless vs the naive sequential stream. Exercises
+    the engine's window-row resolution as seq_lens advances through window and
+    page boundaries (ps=8 == WRITE_WIN: every window is a fresh page row)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, params = setup
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 11, 3]]
+    sp = SamplingParams(temperature=0.0, max_tokens=10, stop_token_ids=())
+
+    with pltpu.force_tpu_interpret_mode():
+        engine = make_engine(params, cfg, n_slots=4, speculate_k=3, attn_impl="pallas")
+        outs = engine.generate_batch(prompts, sp)
+
+    for prompt, out in zip(prompts, outs):
+        assert out["token_ids"] == naive_greedy(params, cfg, prompt, 10)
+    assert engine.last_stats["tokens_per_verify"] > 1.0
