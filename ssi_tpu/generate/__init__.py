@@ -139,6 +139,7 @@ def run_generation(cfg: Any) -> Path:
             max_context=max_prompt + sp.max_tokens,
             quantize=cfg.get("quantize_weights"),
             speculate_k=int(cfg.get("speculate_k", 0) or 0),
+            prefix_caching=bool(cfg.get("prefix_caching", True)),
         )
     elif engine_kind == "dense":
         engine = DecodeEngine(params, model_cfg, pad_id=tokenizer.pad_id)

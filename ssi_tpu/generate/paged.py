@@ -442,3 +442,82 @@ def prefill_prompts(
         return pools
     hist = hist.at[slot_ids, :p].set(tokens)
     return pools, hist
+
+
+def prefill_suffix(
+    params: Any,
+    tokens: jnp.ndarray,
+    start: jnp.ndarray,
+    cfg: ConfigLlama3_2,
+    pools: dict[str, Any],
+    page_table: jnp.ndarray,
+    page_ids_new: jnp.ndarray,
+    *,
+    n_pages: int,
+    hist: jnp.ndarray | None = None,
+    full_tokens: jnp.ndarray | None = None,
+    slot_ids: jnp.ndarray | None = None,
+) -> dict[str, Any] | tuple[dict[str, Any], jnp.ndarray]:
+    """Prefill the UNCACHED TAIL of prompts whose prefix K/V pages came from
+    the cross-request prefix cache (vLLM's automatic-prefix-caching role; the
+    reference reaches it through vLLM at scripts/generate.py:112-118).
+
+    tokens: [B, S] suffix tokens at absolute positions ``start .. start+S-1``,
+    right-padded to the shared suffix bucket (S % page_size == 0); start: [B]
+    cached token count per row (a multiple of page_size — only FULL prompt
+    pages are cached); page_table: [B, max_pages] logical pages covering the
+    cached prefix AND the slot-owned suffix pages (trash-padded beyond);
+    page_ids_new: [B, S // ps] logical pages receiving the suffix K/V.
+
+    Per layer the suffix K/V is scattered into its pages FIRST, then
+    ``paged_attention_multi`` attends each suffix token over the gathered page
+    view — cached history and in-suffix predecessors in one joint softmax
+    (flat gather position == absolute position because cached prefixes are
+    page-aligned). Because the scatter covers every row in the batch before
+    any row attends, a row may reference prefix pages whose content is written
+    by an EARLIER row of the same dispatch (same-wave prefix sharing).
+
+    With ``hist``/``full_tokens [B, F]``/``slot_ids`` (speculative decoding),
+    the FULL prompt — cached part included — is recorded into the n-gram
+    history buffer and ``(pools, hist)`` is returned.
+    """
+    b, s_len = tokens.shape
+    ps = pools["k"].shape[1]
+    assert s_len % ps == 0, (s_len, ps)
+    positions = start[:, None] + jnp.arange(s_len, dtype=jnp.int32)[None, :]
+    cos, sin = _rope_for_positions(positions, cfg)
+    hd = cfg.head_dim
+    trash = pools["k"].shape[0] - 1
+
+    h = params["embed"][tokens]  # [B, S, D]
+    kp, vp = pools["k"], pools["v"]
+    base_lens = start + 1  # suffix token 0 attends the cached history + itself
+
+    def body(carry, layer):
+        h, kp, vp, l = carry
+        x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
+        q = _mm(x, layer["wq"]).reshape(b, s_len, cfg.num_heads, hd)
+        k = _mm(x, layer["wk"]).reshape(b, s_len, cfg.num_kv_heads, hd)
+        v = _mm(x, layer["wv"]).reshape(b, s_len, cfg.num_kv_heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        phys_new = jnp.where(page_ids_new >= n_pages, trash, l * n_pages + page_ids_new).reshape(-1)
+        kp = kp.at[phys_new].set(
+            k.astype(kp.dtype).reshape(b * s_len // ps, ps, cfg.num_kv_heads * hd)
+        )
+        vp = vp.at[phys_new].set(
+            v.astype(vp.dtype).reshape(b * s_len // ps, ps, cfg.num_kv_heads * hd)
+        )
+        phys_table = jnp.where(page_table >= n_pages, trash, l * n_pages + page_table)
+        attn = paged_attention_multi(q, kp, vp, phys_table, base_lens)
+        h = h + _mm(attn.reshape(b, s_len, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
+        x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
+        h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])
+        return (h, kp, vp, l + 1), None
+
+    (_, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
+    pools = {"k": kp, "v": vp}
+    if hist is None:
+        return pools
+    hist = hist.at[slot_ids, : full_tokens.shape[1]].set(full_tokens)
+    return pools, hist

@@ -30,9 +30,10 @@ tests/test_paged_decode.py.
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -41,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssi_tpu.generate.engine import SamplingParams, _sample
-from ssi_tpu.generate.paged import decode_step_tokens, init_pools, prefill_prompts
+from ssi_tpu.generate.paged import decode_step_tokens, init_pools, prefill_prompts, prefill_suffix
 from ssi_tpu.models.configs import ConfigLlama3_2
 from ssi_tpu.utils import round_up as _round_up
 
@@ -65,6 +66,10 @@ class _Slot:
     seq_len: int = 0              # valid cache tokens (prompt + consumed outputs)
     n_out: int = 0                # tokens emitted so far
     done: bool = False            # hit a stop token / budget; awaiting collection
+    cached_len: int = 0           # prompt tokens satisfied by the prefix cache
+    fresh: list[int] = field(default_factory=list)  # cache pages registered at
+    # this admission whose content is only valid once its prefill dispatches
+    # (unregistered on pre-prefill rollback)
 
 
 @dataclass
@@ -140,6 +145,21 @@ class PagedDecodeEngine:
             Wins scale with traffic repetitiveness (ASR transcripts: the
             continuation usually lives in the prompt); worst case ~costs the
             extra attention/logits of k rejected candidates per step.
+        prefix_caching: reuse KV pages across REQUESTS when prompts share a
+            prefix (vLLM's automatic prefix caching). Full prompt pages are
+            keyed by a chained hash of their token blocks; an admission whose
+            prompt extends a cached chain references those pages by refcount
+            and prefills only the uncached tail (``prefill_suffix``) — or
+            nothing at all on a full hit. Pages whose last reference drops
+            stay cached (LRU) and are evicted only when the free list runs
+            dry, so the pool never shrinks. Exact: cached K/V is the K/V a
+            fresh prefill would write (same tokens, same absolute positions —
+            bitwise under the gather impl; under attn_impl=pallas the suffix
+            pass uses the gather path, a low-bit bf16 difference of the same
+            order as the attn_impl choice itself). Wins scale with shared-
+            prefix traffic (a common system prompt, n>1 resampling, WER evals
+            re-running a split); pure-random prompts see no reuse and no cost
+            beyond the per-admission hash.
     """
 
     def __init__(
@@ -158,6 +178,7 @@ class PagedDecodeEngine:
         pipeline_depth: int = 2,
         quantize: str | None = None,
         speculate_k: int = 0,
+        prefix_caching: bool = True,
     ):
         if quantize == "int8":
             # weight-only int8 for the layer stack: halves the dominant HBM
@@ -209,6 +230,13 @@ class PagedDecodeEngine:
         # across its n sequences (vLLM's parallel-sampling memory sharing);
         # a page returns to the free list when its last reference drops
         self._page_refs = np.zeros(n_pages, np.int32)
+        # cross-request prefix cache: chain-hash -> logical page (1:1 with the
+        # reverse map). A cached page with refcount 0 parks in the LRU instead
+        # of the free list; _alloc_pages evicts LRU-first when the list runs dry.
+        self.prefix_caching = bool(prefix_caching)
+        self._prefix_map: dict[bytes, int] = {}
+        self._page_hash: dict[int, bytes] = {}
+        self._cache_lru: OrderedDict[int, None] = OrderedDict()
         self._copy_fn_cache: dict[int, Any] = {}
         self._slots = [_Slot() for _ in range(n_slots)]
         # host mirrors of device state
@@ -489,6 +517,12 @@ class PagedDecodeEngine:
     # --- host-side page scheduling -------------------------------------------------
 
     def _alloc_pages(self, n: int) -> list[int] | None:
+        # top up from the prefix cache's unreferenced pages (LRU first) before
+        # reporting the pool dry — cached pages are reclaimable capacity
+        while len(self._free_pages) < n and self._cache_lru:
+            pg, _ = self._cache_lru.popitem(last=False)
+            self._prefix_map.pop(self._page_hash.pop(pg), None)
+            self._free_pages.append(pg)
         if len(self._free_pages) < n:
             return None
         pages = [self._free_pages.pop() for _ in range(n)]
@@ -504,7 +538,21 @@ class PagedDecodeEngine:
         for p in pages:
             self._page_refs[p] -= 1
             if self._page_refs[p] == 0:
-                self._free_pages.append(p)
+                if p in self._page_hash:  # keep cached content around, evictable
+                    self._cache_lru[p] = None
+                    self._cache_lru.move_to_end(p)
+                else:
+                    self._free_pages.append(p)
+
+    def _unregister_pages(self, pages: list[int]) -> None:
+        """Drop pages from the prefix cache (pre-prefill rollback: their
+        content was never written). Refcounts are untouched — the caller's
+        _free_slot routes them to the free list since the hash entry is gone."""
+        for p in pages:
+            h = self._page_hash.pop(p, None)
+            if h is not None:
+                self._prefix_map.pop(h, None)
+            self._cache_lru.pop(p, None)
 
     def _free_slot(self, slot: _Slot):
         self._release_pages(slot.pages)
@@ -513,9 +561,42 @@ class PagedDecodeEngine:
         slot.seq_len = 0
         slot.n_out = 0
         slot.done = False
+        slot.cached_len = 0
+        slot.fresh = []
 
     def _pages_needed(self, length: int) -> int:
         return -(-length // self.page_size)
+
+    def _match_prefix(self, prompt: list[int]) -> tuple[list[int], list[bytes]]:
+        """Longest cached page-chain prefix of ``prompt``. Returns (matched
+        logical pages, chain hashes of ALL full prompt pages). Only pages
+        holding exclusively positions <= len(prompt)-2 are cacheable — the
+        page holding position p-1 is written by the first decode step."""
+        ps = self.page_size
+        shared_n = (len(prompt) - 1) // ps
+        hashes: list[bytes] = []
+        h = b""
+        arr = np.asarray(prompt[: shared_n * ps], np.int32)
+        for i in range(shared_n):
+            h = hashlib.sha1(h + arr[i * ps : (i + 1) * ps].tobytes()).digest()
+            hashes.append(h)
+        matched: list[int] = []
+        for h in hashes:
+            pg = self._prefix_map.get(h)
+            if pg is None:
+                break
+            matched.append(pg)
+        return matched, hashes
+
+    def _clear_prefix_cache(self) -> None:
+        """Invalidate the whole prefix cache (stream teardown on error: an
+        admitted-but-never-prefilled slot may have registered pages whose
+        content was never written). Unreferenced cached pages rejoin the free
+        list; referenced ones follow when their last holder releases."""
+        self._prefix_map.clear()
+        self._page_hash.clear()
+        self._free_pages.extend(self._cache_lru)
+        self._cache_lru.clear()
 
     def _ensure_capacity(self, slot_id: int, target_len: int) -> bool:
         """Lazily extend a slot's page list to cover ``target_len`` tokens."""
@@ -636,6 +717,7 @@ class PagedDecodeEngine:
             "tokens_out": 0,
             "preemptions": 0,
             "pages_shared": 0,         # prefix pages referenced instead of copied (n>1)
+            "cached_prompt_tokens": 0,  # prompt tokens served from the prefix cache
             "dispatch_block_s": 0.0,   # host-blocking part of async chunk dispatches
             "prefill_block_s": 0.0,
             "harvest_block_s": 0.0,    # blocked in device_get for chunk results
@@ -725,6 +807,7 @@ class PagedDecodeEngine:
         p = len(req.prompt)
         p_bucket = _round_up(p, self.prompt_bucket)
         slot = self._slots[slot_id]
+        hashes: list[bytes] = []
         if shared_prefix:
             # n>1 sibling: reference the leader's read-only prompt pages,
             # own pages for the rest of the bucket (boundary page onward)
@@ -733,12 +816,47 @@ class PagedDecodeEngine:
             for k in range(len(shared_prefix)):
                 self._page_table[slot_id, k] = shared_prefix[k]
             st.stats["pages_shared"] += len(shared_prefix)
-        if not self._ensure_capacity(slot_id, p_bucket):
+        elif self.prefix_caching:
+            # cross-request reuse: reference the longest cached page chain
+            # this prompt extends; only the tail past it needs prefilling
+            matched, hashes = self._match_prefix(req.prompt)
+            for pg in matched:
+                self._page_refs[pg] += 1
+                if self._page_refs[pg] == 1:
+                    self._cache_lru.pop(pg, None)  # back in active use
+            slot.pages = list(matched)
+            for k in range(len(matched)):
+                self._page_table[slot_id, k] = matched[k]
+            slot.cached_len = len(matched) * self.page_size
+            st.stats["cached_prompt_tokens"] += slot.cached_len
+        target = p_bucket
+        if 0 < slot.cached_len < p - 1:
+            # the suffix pass spans [cached_len, cached_len + suffix bucket);
+            # cached_len is page- but not necessarily prompt_bucket-aligned,
+            # so the rounded span can overhang p_bucket by < one bucket
+            s_bucket = _round_up(p - slot.cached_len, self.prompt_bucket)
+            target = min(
+                max(p_bucket, slot.cached_len + s_bucket),
+                self.max_pages_per_seq * self.page_size,
+            )
+        if not self._ensure_capacity(slot_id, target):
             # release the partial allocation: a req=None slot is invisible
             # to preemption/collect, so stranded pages would otherwise
             # shrink the pool for the rest of the engine's lifetime
             self._free_slot(slot)
             return None
+        if hashes:
+            # register this prompt's remaining full pages: valid the moment
+            # this round's prefill dispatches; unregistered on group rollback
+            # (slot.fresh). Same-wave admissions may match them immediately —
+            # _prefill_admitted orders dispatches so writers precede readers.
+            fresh = []
+            for i in range(slot.cached_len // self.page_size, len(hashes)):
+                pg = slot.pages[i]
+                self._prefix_map[hashes[i]] = pg
+                self._page_hash[pg] = hashes[i]
+                fresh.append(pg)
+            slot.fresh = fresh
         slot.req = req
         slot.seq_len = p - 1
         slot.n_out = 0
@@ -776,6 +894,8 @@ class PagedDecodeEngine:
             got = self._admit_slot(sid, req, shared_prefix=lead_pages[:shared_n])
             if got is None:
                 for aid in admitted_ids:  # roll the whole group back
+                    # drop cache registrations whose prefill will never run
+                    self._unregister_pages(self._slots[aid].fresh)
                     self._free_slot(self._slots[aid])
                     st.active[aid] = False
                     st.admit[aid] = 0
@@ -802,9 +922,28 @@ class PagedDecodeEngine:
 
     def _prefill_admitted(self, admitted: list[tuple[int, int]]) -> None:
         """Dispatch batched prefills: one program per (group bucket, group
-        size), padding rows and beyond-own-bucket pages to the trash id."""
+        size), padding rows and beyond-own-bucket pages to the trash id.
+
+        Rows whose prompt prefix was served by the prefix cache run the
+        cheaper SUFFIX pass instead (or, on a full hit, no compute at all —
+        just the n-gram history fill in speculative mode). Dispatch order
+        matters within an admission round: full prefills go first and suffix
+        rows keep admission order, because a row may gather prefix pages that
+        an earlier row of the same round writes (device execution follows
+        dispatch order via the donated-pools dependency chain)."""
         st = self._st
-        todo = sorted(admitted, key=lambda t: t[1])  # by bucket
+        full = [t for t in admitted if self._slots[t[0]].cached_len == 0]
+        suffix: list[tuple[int, int]] = []
+        hist_only: list[int] = []
+        for slot_id, bucket in admitted:
+            s = self._slots[slot_id]
+            if s.cached_len == 0:
+                continue
+            if s.cached_len >= len(s.req.prompt) - 1:
+                hist_only.append(slot_id)  # decode's first step does the rest
+            else:
+                suffix.append((slot_id, bucket))
+        todo = sorted(full, key=lambda t: t[1])  # by bucket
         trash = self.n_pages  # logical sentinel -> trash row in prefill_prompts
         while todo:
             g = next(s for s in self.PREFILL_GROUPS if s <= len(todo))
@@ -834,6 +973,127 @@ class PagedDecodeEngine:
             st.stats["prefill_dispatches"] += 1
             st.stats["prefill_rows"] += len(batch)
             st.stats["prefill_token_area"] += g * bucket
+
+        # suffix passes: merge contiguous same-suffix-bucket runs only, so the
+        # dispatch sequence preserves admission order (writer-before-reader)
+        idx = 0
+        while idx < len(suffix):
+            sb = self._suffix_span(suffix[idx][0])
+            j = idx + 1
+            while (
+                j < len(suffix)
+                and j - idx < self.PREFILL_GROUPS[0]
+                and self._suffix_span(suffix[j][0]) == sb
+            ):
+                j += 1
+            g = next(s for s in self.PREFILL_GROUPS if s <= j - idx)
+            self._dispatch_suffix(suffix[idx : idx + g], sb)
+            idx += g
+        if hist_only and self.speculate_k > 0:
+            todo_h = list(hist_only)
+            while todo_h:
+                g = next(s for s in self.PREFILL_GROUPS if s <= len(todo_h))
+                batch, todo_h = todo_h[:g], todo_h[g:]
+                f_bucket = max(
+                    _round_up(len(self._slots[sid].req.prompt), self.prompt_bucket)
+                    for sid in batch
+                )
+                tokens = np.full((g, f_bucket), self.pad_id, np.int32)
+                slot_ids = np.full((g,), self.n_slots, np.int32)
+                for r, sid in enumerate(batch):
+                    prm = self._slots[sid].req.prompt
+                    tokens[r, : len(prm)] = prm
+                    slot_ids[r] = sid
+                st.hist = self._hist_fill_fn(f_bucket, g)(
+                    st.hist, jnp.asarray(tokens), jnp.asarray(slot_ids)
+                )
+
+    def _suffix_span(self, slot_id: int) -> int:
+        """Padded token span of a cached slot's suffix prefill (compile key)."""
+        s = self._slots[slot_id]
+        return _round_up(len(s.req.prompt) - s.cached_len, self.prompt_bucket)
+
+    def _suffix_fn(self, s_bucket: int, group: int, f_bucket: int | None):
+        key = ("suffix", s_bucket, group, f_bucket)
+        if key not in self._prefill_cache:
+            cfg = self.cfg
+            n_pages = self.n_pages
+            if self.speculate_k > 0:
+                def pre(params, pools, tokens, start, table, new_ids, hist, full_tokens, slot_ids):
+                    return prefill_suffix(
+                        params, tokens, start, cfg, pools, table, new_ids, n_pages=n_pages,
+                        hist=hist, full_tokens=full_tokens, slot_ids=slot_ids,
+                    )
+
+                self._prefill_cache[key] = jax.jit(pre, donate_argnums=(1, 6))
+            else:
+                def pre(params, pools, tokens, start, table, new_ids):
+                    return prefill_suffix(
+                        params, tokens, start, cfg, pools, table, new_ids, n_pages=n_pages
+                    )
+
+                self._prefill_cache[key] = jax.jit(pre, donate_argnums=(1,))
+        return self._prefill_cache[key]
+
+    def _hist_fill_fn(self, f_bucket: int, group: int):
+        key = ("hist", f_bucket, group)
+        if key not in self._prefill_cache:
+            def fill(hist, tokens, slot_ids):
+                return hist.at[slot_ids, : tokens.shape[1]].set(tokens)
+
+            self._prefill_cache[key] = jax.jit(fill, donate_argnums=(0,))
+        return self._prefill_cache[key]
+
+    def _dispatch_suffix(self, batch: list[tuple[int, int]], s_bucket: int) -> None:
+        """One suffix-prefill dispatch for ``batch`` rows sharing a suffix
+        bucket: tokens/start/page-table/new-page operands built from host
+        mirrors; trash-pads pages beyond each row's owned set."""
+        st = self._st
+        trash = self.n_pages
+        g = len(batch)
+        n_new = s_bucket // self.page_size
+        tokens = np.full((g, s_bucket), self.pad_id, np.int32)
+        start = np.zeros((g,), np.int32)
+        table = np.full((g, self.max_pages_per_seq), trash, np.int32)
+        new_ids = np.full((g, n_new), trash, np.int32)
+        for r, (slot_id, _bucket) in enumerate(batch):
+            s = self._slots[slot_id]
+            prm = s.req.prompt
+            c = s.cached_len
+            suf = prm[c:]
+            tokens[r, : len(suf)] = suf
+            start[r] = c
+            n_owned = len(s.pages)
+            table[r, :n_owned] = self._page_table[slot_id, :n_owned]
+            cn = c // self.page_size
+            upto = min(n_new, n_owned - cn)
+            new_ids[r, :upto] = self._page_table[slot_id, cn : cn + upto]
+        t0 = time.perf_counter()
+        if self.speculate_k > 0:
+            f_bucket = max(
+                _round_up(len(self._slots[sid].req.prompt), self.prompt_bucket)
+                for sid, _ in batch
+            )
+            full_tokens = np.full((g, f_bucket), self.pad_id, np.int32)
+            slot_ids = np.full((g,), self.n_slots, np.int32)
+            for r, (sid, _b) in enumerate(batch):
+                prm = self._slots[sid].req.prompt
+                full_tokens[r, : len(prm)] = prm
+                slot_ids[r] = sid
+            self.pools, st.hist = self._suffix_fn(s_bucket, g, f_bucket)(
+                self.params, self.pools, jnp.asarray(tokens), jnp.asarray(start),
+                jnp.asarray(table), jnp.asarray(new_ids), st.hist,
+                jnp.asarray(full_tokens), jnp.asarray(slot_ids),
+            )
+        else:
+            self.pools = self._suffix_fn(s_bucket, g, None)(
+                self.params, self.pools, jnp.asarray(tokens), jnp.asarray(start),
+                jnp.asarray(table), jnp.asarray(new_ids),
+            )
+        st.stats["prefill_block_s"] += time.perf_counter() - t0
+        st.stats["prefill_dispatches"] += 1
+        st.stats["prefill_rows"] += g
+        st.stats["prefill_token_area"] += g * s_bucket
 
     def _collect(self, slot_id: int) -> None:
         st = self._st
@@ -911,6 +1171,10 @@ class PagedDecodeEngine:
         try:
             self._step_inner(st)
         except BaseException:
+            # a slot admitted this iteration may have registered prefix-cache
+            # pages whose prefill never dispatched — invalidate the cache
+            # wholesale before releasing pages
+            self._clear_prefix_cache()
             self.end_stream()  # release every claimed slot/page; drop in-flight chunks
             raise
         out = []

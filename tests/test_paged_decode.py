@@ -79,7 +79,7 @@ def test_continuous_batching_refills_slots(setup):
     assert len(outs) == len(prompts)
     for prompt, out in zip(prompts, outs):
         assert out["token_ids"] == naive_greedy(params, cfg, prompt, 5)
-    assert len(engine._free_pages) == engine.n_pages  # no page leaks
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages  # no page leaks
     assert all(s.req is None for s in engine._slots)
 
 
@@ -124,7 +124,7 @@ def test_preemption_on_tiny_pool(setup):
     outs = engine.generate_batch(prompts, sp)
     for prompt, out in zip(prompts, outs):
         assert out["token_ids"] == naive_greedy(params, cfg, prompt, 12)
-    assert len(engine._free_pages) == engine.n_pages
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
 
 
 def test_pool_too_small_raises(setup):
@@ -213,13 +213,13 @@ def test_failed_admission_releases_pages(setup):
     # pool of 6 pages, page_size 8: a 4-page prompt + a 2-page prompt can
     # never be resident together with a third request
     eng = make_engine(params, cfg, n_slots=2, n_pages=6, max_context=48)
-    free_before = len(eng._free_pages)
+    free_before = len(eng._free_pages) + len(eng._cache_lru)
     sp = SamplingParams(temperature=0.0, max_tokens=2, stop_token_ids=())
     prompts = [[1] * 30, [2] * 10, [3] * 14]  # 4 + 2 + 2 pages of prompt
     outs = eng.generate_batch(prompts, sp)
     assert len(outs) == 3 and all(len(o["token_ids"]) == 2 for o in outs)
     # every page returned to the free list after the batch drains
-    assert len(eng._free_pages) == free_before
+    assert len(eng._free_pages) + len(eng._cache_lru) == free_before
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
@@ -248,9 +248,9 @@ def test_scheduler_fuzz_matches_dense(setup, seed):
         max_context=max(len(p) for p in prompts) + max_tokens + 8,
         chunk=int(rng.integers(2, 6)),
     )
-    free_before = len(eng._free_pages)
+    free_before = len(eng._free_pages) + len(eng._cache_lru)
     got = eng.generate_batch(prompts, sp)
-    assert len(eng._free_pages) == free_before  # no page leaked
+    assert len(eng._free_pages) + len(eng._cache_lru) == free_before  # no page leaked
 
     dense = DecodeEngine(params, cfg, pad_id=0)
     want = dense.generate_batch(prompts, sp)
@@ -318,7 +318,7 @@ def test_exception_mid_run_releases_pool(setup):
     engine._chunk_fn = failing_chunk_fn
     with pytest.raises(RuntimeError, match="injected"):
         engine.generate_batch(prompts, sp)
-    assert len(engine._free_pages) == engine.n_pages
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
     assert all(s.req is None for s in engine._slots)
 
     engine._chunk_fn = orig
@@ -379,7 +379,7 @@ def test_n_parallel_sampling_greedy_shares_pages(setup):
     rng = np.random.default_rng(13)
     prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 17, 11]]
     engine = make_engine(params, cfg, n_slots=8)
-    free0 = len(engine._free_pages)
+    free0 = len(engine._free_pages) + len(engine._cache_lru)
 
     solo = engine.generate_batch(prompts, SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=()))
     sp3 = SamplingParams(n=3, temperature=0.0, max_tokens=6, stop_token_ids=())
@@ -390,7 +390,7 @@ def test_n_parallel_sampling_greedy_shares_pages(setup):
         for j in range(3):
             assert outs[i * 3 + j]["token_ids"] == solo[i]["token_ids"], (i, j)
     assert engine.last_stats["pages_shared"] > 0  # prompt 17 spans >= 2 pages (ps=8)
-    assert len(engine._free_pages) == free0
+    assert len(engine._free_pages) + len(engine._cache_lru) == free0
     assert (engine._page_refs == 0).all()
 
 
@@ -422,7 +422,7 @@ def test_n_gang_splits_when_pool_tight(setup):
     assert len(outs) == 3
     for o in outs:
         assert o["token_ids"] == solo[0]["token_ids"]
-    assert len(engine._free_pages) == engine.n_pages
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
 
 
 def test_streaming_api_dynamic_arrivals(setup):
@@ -455,7 +455,7 @@ def test_streaming_api_dynamic_arrivals(setup):
     for i, rid in enumerate(ids):
         assert got[rid][0]["token_ids"] == batch[i]["token_ids"], i
     assert engine._st is None
-    assert len(engine._free_pages) == engine.n_pages
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
 
 
 def test_streaming_api_guards(setup):
@@ -474,7 +474,7 @@ def test_streaming_api_guards(setup):
     engine.add_request([1, 2, 3, 4, 5])
     engine.step()  # admit + dispatch
     engine.end_stream()  # abort mid-request
-    assert len(engine._free_pages) == engine.n_pages
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
     # engine remains fully usable
     outs = engine.generate_batch([[1, 2, 3]], sp)
     assert len(outs[0]["token_ids"]) == 4
@@ -505,7 +505,7 @@ def test_spec_decode_matches_naive(setup, k):
     assert st["verify_steps"] > 0
     assert st["tokens_out"] == 6 * 12
     assert st["tokens_per_verify"] > 1.0  # speculation actually accepted tokens
-    assert len(engine._free_pages) == engine.n_pages  # no page leaks
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages  # no page leaks
     assert all(s.req is None for s in engine._slots)
 
 
@@ -574,7 +574,7 @@ def test_spec_decode_streaming_refills(setup):
     outs = engine.generate_batch(prompts, sp)
     for prompt, out in zip(prompts, outs):
         assert out["token_ids"] == naive_greedy(params, cfg, prompt, 6)
-    assert len(engine._free_pages) == engine.n_pages
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
 
 
 def test_pallas_multi_kernel_parity_interpret(setup):
@@ -657,3 +657,159 @@ def test_spec_decode_pallas_e2e_interpret(setup):
     for prompt, out in zip(prompts, outs):
         assert out["token_ids"] == naive_greedy(params, cfg, prompt, 10)
     assert engine.last_stats["tokens_per_verify"] > 1.0
+
+
+# --- cross-request prefix caching (vLLM automatic prefix caching role) ------------
+
+
+def _cache_invariant(engine):
+    """Page accounting with an idle engine: every page is free or parked in the
+    cache LRU; hash maps are 1:1."""
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
+    assert set(engine._page_hash) == set(engine._prefix_map.values())
+    assert set(engine._page_hash.values()) == set(engine._prefix_map)
+    for pg in engine._cache_lru:
+        assert engine._page_refs[pg] == 0
+
+
+def test_prefix_cache_cross_request_lossless(setup):
+    """A second stream whose prompts extend a cached prefix must (a) reuse
+    pages (cached_prompt_tokens > 0), (b) prefill only the tail, and (c) emit
+    exactly the uncached greedy stream."""
+    cfg, params = setup
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, cfg.vocab_size, 21).tolist()  # 2 full ps=8 pages cacheable
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+
+    engine = make_engine(params, cfg)
+    outs1 = engine.generate_batch([base], sp)
+    assert engine.last_stats["cached_prompt_tokens"] == 0
+    area1 = engine.last_stats["prefill_token_area"]
+    _cache_invariant(engine)
+
+    # same prompt again: full hit — (p-1)//ps * ps = 16 tokens from cache
+    outs2 = engine.generate_batch([base], sp)
+    assert engine.last_stats["cached_prompt_tokens"] == 16
+    assert outs2[0]["token_ids"] == outs1[0]["token_ids"]
+
+    # an extension: shares the 2 cached pages, suffix pass for the tail only
+    ext = base[:16] + rng.integers(0, cfg.vocab_size, 9).tolist()
+    outs3 = engine.generate_batch([ext], sp)
+    assert engine.last_stats["cached_prompt_tokens"] == 16
+    assert engine.last_stats["prefill_token_area"] < area1
+    assert outs3[0]["token_ids"] == naive_greedy(params, cfg, ext, 6)
+    _cache_invariant(engine)
+
+    # a diverging prompt (same first page only)
+    div = base[:8] + rng.integers(0, cfg.vocab_size, 12).tolist()
+    outs4 = engine.generate_batch([div], sp)
+    assert engine.last_stats["cached_prompt_tokens"] == 8
+    assert outs4[0]["token_ids"] == naive_greedy(params, cfg, div, 6)
+    _cache_invariant(engine)
+
+
+def test_prefix_cache_same_wave(setup):
+    """Prompts sharing a prefix INSIDE one batch: the first admission
+    registers its pages, later same-round admissions reference them (the
+    suffix dispatch ordering makes same-round writer->reader safe)."""
+    cfg, params = setup
+    rng = np.random.default_rng(37)
+    shared = rng.integers(0, cfg.vocab_size, 16).tolist()
+    prompts = [shared + rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 3, 7]]
+    sp = SamplingParams(temperature=0.0, max_tokens=5, stop_token_ids=())
+
+    engine = make_engine(params, cfg)
+    outs = engine.generate_batch(prompts, sp)
+    assert engine.last_stats["cached_prompt_tokens"] == 2 * 16  # rows 2 and 3
+    for prompt, out in zip(prompts, outs):
+        assert out["token_ids"] == naive_greedy(params, cfg, prompt, 5)
+    _cache_invariant(engine)
+
+
+def test_prefix_cache_eviction_under_pressure(setup):
+    """A tiny pool forces LRU eviction of parked cache pages: allocation must
+    reclaim them (never report dry while the LRU holds pages) and outputs
+    stay lossless."""
+    cfg, params = setup
+    rng = np.random.default_rng(41)
+    sp = SamplingParams(temperature=0.0, max_tokens=4, stop_token_ids=())
+    # 12 pages: two 17-token prompts (3 pages each incl. bucket) + decode room
+    engine = make_engine(params, cfg, n_slots=2, n_pages=12)
+
+    batches = [
+        [rng.integers(0, cfg.vocab_size, 17).tolist() for _ in range(2)] for _ in range(3)
+    ]
+    for batch in batches:
+        outs = engine.generate_batch(batch, sp)
+        for prompt, out in zip(batch, outs):
+            assert out["token_ids"] == naive_greedy(params, cfg, prompt, 4)
+        _cache_invariant(engine)
+    # distinct prompts kept arriving into a 12-page pool: old entries evicted
+    assert len(engine._cache_lru) <= 12
+
+
+def test_prefix_cache_off(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(43)
+    prompt = rng.integers(0, cfg.vocab_size, 20).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=4, stop_token_ids=())
+    engine = make_engine(params, cfg, prefix_caching=False)
+    outs1 = engine.generate_batch([prompt], sp)
+    outs2 = engine.generate_batch([prompt], sp)
+    assert engine.last_stats["cached_prompt_tokens"] == 0
+    assert not engine._prefix_map
+    assert outs1[0]["token_ids"] == outs2[0]["token_ids"] == naive_greedy(params, cfg, prompt, 4)
+
+
+def test_prefix_cache_with_spec_decode(setup):
+    """Composition with n-gram speculative decoding: the full-hit path skips
+    prefill entirely but must still fill the n-gram history (drafts match
+    against the prompt), staying lossless."""
+    cfg, params = setup
+    rng = np.random.default_rng(47)
+    seq = rng.integers(0, cfg.vocab_size, 17).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+    engine = make_engine(params, cfg, speculate_k=3)
+    ref = naive_greedy(params, cfg, seq, 8)
+    outs1 = engine.generate_batch([seq], sp)
+    outs2 = engine.generate_batch([seq], sp)  # full prefix hit
+    assert engine.last_stats["cached_prompt_tokens"] == 16
+    assert outs1[0]["token_ids"] == outs2[0]["token_ids"] == ref
+    # extension (suffix pass under spec: hist carries the FULL prompt)
+    ext = seq[:16] + rng.integers(0, cfg.vocab_size, 6).tolist()
+    outs3 = engine.generate_batch([ext], sp)
+    assert engine.last_stats["cached_prompt_tokens"] == 16
+    assert outs3[0]["token_ids"] == naive_greedy(params, cfg, ext, 8)
+    _cache_invariant(engine)
+
+
+def test_prefix_cache_with_parallel_sampling(setup):
+    """n>1: the leader's prompt pages may come from the cache; siblings
+    share them by refcount on top (two sharing layers compose)."""
+    cfg, params = setup
+    rng = np.random.default_rng(53)
+    prompt = rng.integers(0, cfg.vocab_size, 19).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=4, stop_token_ids=(), n=2)
+    engine = make_engine(params, cfg)
+    ref = naive_greedy(params, cfg, prompt, 4)
+    outs1 = engine.generate_batch([prompt], sp)
+    outs2 = engine.generate_batch([prompt], sp)
+    assert engine.last_stats["cached_prompt_tokens"] == 16
+    for o in outs1 + outs2:
+        assert o["token_ids"] == ref
+    _cache_invariant(engine)
+
+
+def test_prefix_cache_survives_preemption(setup):
+    """Preempted requests re-admit through the cache (their prompt pages are
+    still registered), and the final outputs stay lossless."""
+    cfg, params = setup
+    rng = np.random.default_rng(59)
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+    # deliberately tight pool (mirrors test_preemption_on_tiny_pool's shape)
+    engine = make_engine(params, cfg, n_slots=3, n_pages=9)
+    prompts = [rng.integers(0, cfg.vocab_size, 17).tolist() for _ in range(3)]
+    outs = engine.generate_batch(prompts, sp)
+    for prompt, out in zip(prompts, outs):
+        assert out["token_ids"] == naive_greedy(params, cfg, prompt, 6)
+    _cache_invariant(engine)
