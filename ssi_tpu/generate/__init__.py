@@ -20,6 +20,16 @@ LOGGER = logging.getLogger(__name__)
 __all__ = ["DecodeEngine", "SamplingParams", "run_generation", "resolve_gen_output_dir"]
 
 
+def _serving_mesh(tp: int):
+    """Mesh for tensor-parallel serving (``tensor_parallel`` config key);
+    None for the single-device default."""
+    if tp <= 1:
+        return None
+    from ssi_tpu.parallel import make_mesh
+
+    return make_mesh(dp=1, tp=tp)
+
+
 def resolve_gen_output_dir(cfg: Any) -> str:
     """checkpoints/... -> generations/... path convention (ref: scripts/generate.py:34-56)."""
     model_dir = Path(cfg.model).resolve(strict=True)
@@ -140,6 +150,7 @@ def run_generation(cfg: Any) -> Path:
             quantize=cfg.get("quantize_weights"),
             speculate_k=int(cfg.get("speculate_k", 0) or 0),
             prefix_caching=bool(cfg.get("prefix_caching", True)),
+            mesh=_serving_mesh(int(cfg.get("tensor_parallel", 1) or 1)),
         )
     elif engine_kind == "dense":
         engine = DecodeEngine(params, model_cfg, pad_id=tokenizer.pad_id)

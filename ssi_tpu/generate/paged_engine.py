@@ -160,6 +160,14 @@ class PagedDecodeEngine:
             prefix traffic (a common system prompt, n>1 resampling, WER evals
             re-running a split); pure-random prompts see no reuse and no cost
             beyond the per-admission hash.
+        mesh: optional ``jax.sharding.Mesh`` with a ``"tp"`` axis for
+            tensor-parallel serving of models too large for one chip (vLLM's
+            ``tensor_parallel_size`` role). Weights shard with training TP's
+            ``parallel.param_specs``; KV pools shard along the kv-head
+            feature axis; the scheduler is unchanged. Gather attention only
+            (the fused Pallas kernel is per-device); validated for output
+            equality vs single-device on a virtual mesh
+            (tests/test_paged_tp.py).
     """
 
     def __init__(
@@ -179,7 +187,32 @@ class PagedDecodeEngine:
         quantize: str | None = None,
         speculate_k: int = 0,
         prefix_caching: bool = True,
+        mesh: Any = None,
     ):
+        if mesh is not None:
+            # Tensor-parallel serving (the vLLM tensor_parallel_size role): the
+            # model weights shard with the SAME Megatron-paired specs training
+            # TP uses (parallel.param_specs — wq/wk/wv/w_gate/w_up column,
+            # wo/w_down row, embed vocab-sharded) and the KV pools shard along
+            # the kv-head feature axis, so attention is head-local and each
+            # layer needs one psum (wo) + one (w_down), inserted by GSPMD.
+            # The host scheduler is unchanged — control arrays replicate.
+            # The fused Pallas kernel is a single-device program, so TP runs
+            # the gather attention path.
+            if quantize is not None:
+                raise ValueError(
+                    "mesh (tensor-parallel decode) does not compose with quantize: "
+                    "the int8 tree carries per-channel scales with no sharding rules yet"
+                )
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            from ssi_tpu.parallel import param_shardings
+
+            params = jax.device_put(params, param_shardings(mesh, params))
+            if attn_impl in ("auto", "pallas"):
+                attn_impl = "gather"
+        self.mesh = mesh
         if quantize == "int8":
             # weight-only int8 for the layer stack: halves the dominant HBM
             # traffic of the (weights-bound) decode step; greedy outputs are
@@ -225,6 +258,15 @@ class PagedDecodeEngine:
 
         cache_dtype = params["embed"].dtype
         self.pools = init_pools(cfg, n_pages, page_size, dtype=cache_dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            kvd = self.pools["k"].shape[2]
+            tp = mesh.shape.get("tp", 1)
+            spec = _P(None, None, "tp") if kvd % tp == 0 else _P()
+            sh = NamedSharding(mesh, spec)
+            self.pools = {k: jax.device_put(v, sh) for k, v in self.pools.items()}
         self._free_pages: list[int] = list(range(n_pages))
         # reference counts: n>1 sampling shares a prompt's full read-only pages
         # across its n sequences (vLLM's parallel-sampling memory sharing);
