@@ -151,6 +151,7 @@ def run_generation(cfg: Any) -> Path:
             speculate_k=int(cfg.get("speculate_k", 0) or 0),
             prefix_caching=bool(cfg.get("prefix_caching", True)),
             mesh=_serving_mesh(int(cfg.get("tensor_parallel", 1) or 1)),
+            prefill_chunk=cfg.get("prefill_chunk"),
         )
     elif engine_kind == "dense":
         engine = DecodeEngine(params, model_cfg, pad_id=tokenizer.pad_id)

@@ -70,6 +70,10 @@ class _Slot:
     fresh: list[int] = field(default_factory=list)  # cache pages registered at
     # this admission whose content is only valid once its prefill dispatches
     # (unregistered on pre-prefill rollback)
+    prefilling: bool = False      # chunked prefill in progress (decode gated)
+    prefilled: int = 0            # prompt positions with K/V written so far
+    hashes: list = field(default_factory=list)  # chain hashes for piece-wise
+    # cache registration (chunked slots register pages as pieces dispatch)
 
 
 @dataclass
@@ -168,6 +172,20 @@ class PagedDecodeEngine:
             (the fused Pallas kernel is per-device); validated for output
             equality vs single-device on a virtual mesh
             (tests/test_paged_tp.py).
+        prefill_chunk: cap (in tokens, a multiple of ``prompt_bucket``) on the
+            prompt span any single prefill dispatch covers — vLLM's chunked
+            prefill. A longer prompt is admitted into its slot but its prefill
+            is split into pieces dispatched one per scheduler step, each a
+            ``prefill_suffix`` pass over the pages written so far, while the
+            OTHER slots' decode chunks keep dispatching in between — a long
+            arrival no longer stalls the whole batch for its full prefill.
+            Decode for the slot starts once all its prompt K/V is written.
+            Composes with prefix caching (pieces start at the cached length;
+            written pieces register pages as they dispatch, so a preempted or
+            aborted long prefill resumes from its cached pages). n>1 gangs
+            prefill unchunked (the sibling boundary-page fork needs the final
+            prefix content at admission). None = off (whole-bucket prefill at
+            admission, today's default).
     """
 
     def __init__(
@@ -188,6 +206,7 @@ class PagedDecodeEngine:
         speculate_k: int = 0,
         prefix_caching: bool = True,
         mesh: Any = None,
+        prefill_chunk: int | None = None,
     ):
         if mesh is not None:
             # Tensor-parallel serving (the vLLM tensor_parallel_size role): the
@@ -234,6 +253,13 @@ class PagedDecodeEngine:
             raise ValueError(f"page_size ({page_size}) must be a positive multiple of 8")
         if prompt_bucket % page_size != 0:
             raise ValueError(f"prompt_bucket ({prompt_bucket}) must be a multiple of page_size ({page_size})")
+        if prefill_chunk is not None and (prefill_chunk <= 0 or prefill_chunk % prompt_bucket != 0):
+            # pieces must start page-aligned (the suffix pass writes whole pages)
+            raise ValueError(
+                f"prefill_chunk ({prefill_chunk}) must be a positive multiple of "
+                f"prompt_bucket ({prompt_bucket})"
+            )
+        self.prefill_chunk = prefill_chunk
         self.max_context = _round_up(_round_up(max_context, page_size), prompt_bucket)
         self.max_pages_per_seq = self.max_context // page_size
         self.prompt_bucket = prompt_bucket
@@ -605,6 +631,9 @@ class PagedDecodeEngine:
         slot.done = False
         slot.cached_len = 0
         slot.fresh = []
+        slot.prefilling = False
+        slot.prefilled = 0
+        slot.hashes = []
 
     def _pages_needed(self, length: int) -> int:
         return -(-length // self.page_size)
@@ -754,6 +783,7 @@ class PagedDecodeEngine:
             "slot_chunks": 0,          # sum over dispatches of runnable slots
             "prefill_dispatches": 0,
             "prefill_rows": 0,
+            "prefill_pieces": 0,       # chunked-prefill piece dispatches (rows)
             "prefill_token_area": 0,   # sum of group * bucket (padded work)
             "prompt_tokens": 0,
             "tokens_out": 0,
@@ -887,7 +917,13 @@ class PagedDecodeEngine:
             # shrink the pool for the rest of the engine's lifetime
             self._free_slot(slot)
             return None
-        if hashes:
+        chunked = (
+            self.prefill_chunk is not None
+            and shared_prefix is None
+            and st.sp.n == 1
+            and (p - 1) - slot.cached_len > self.prefill_chunk
+        )
+        if hashes and not chunked:
             # register this prompt's remaining full pages: valid the moment
             # this round's prefill dispatches; unregistered on group rollback
             # (slot.fresh). Same-wave admissions may match them immediately —
@@ -903,6 +939,15 @@ class PagedDecodeEngine:
         slot.seq_len = p - 1
         slot.n_out = 0
         slot.done = False
+
+        if chunked:
+            # decode is gated until every prompt position < p-1 has K/V;
+            # pieces dispatch one per step (_advance_prefills). Pages register
+            # into the prefix cache piece-by-piece as their content is written.
+            slot.prefilling = True
+            slot.prefilled = slot.cached_len
+            slot.hashes = hashes
+            return slot_id, p_bucket
 
         if st.use_pen:
             cnt = np.zeros((self.cfg.vocab_size,), np.float32)
@@ -1018,18 +1063,22 @@ class PagedDecodeEngine:
 
         # suffix passes: merge contiguous same-suffix-bucket runs only, so the
         # dispatch sequence preserves admission order (writer-before-reader)
+        rows = [
+            (sid, self._slots[sid].cached_len, len(self._slots[sid].req.prompt))
+            for sid, _b in suffix
+        ]
         idx = 0
-        while idx < len(suffix):
-            sb = self._suffix_span(suffix[idx][0])
+        while idx < len(rows):
+            sb = self._suffix_span(rows[idx])
             j = idx + 1
             while (
-                j < len(suffix)
+                j < len(rows)
                 and j - idx < self.PREFILL_GROUPS[0]
-                and self._suffix_span(suffix[j][0]) == sb
+                and self._suffix_span(rows[j]) == sb
             ):
                 j += 1
             g = next(s for s in self.PREFILL_GROUPS if s <= j - idx)
-            self._dispatch_suffix(suffix[idx : idx + g], sb)
+            self._dispatch_suffix(rows[idx : idx + g], sb, with_hist=True)
             idx += g
         if hist_only and self.speculate_k > 0:
             todo_h = list(hist_only)
@@ -1050,17 +1099,18 @@ class PagedDecodeEngine:
                     st.hist, jnp.asarray(tokens), jnp.asarray(slot_ids)
                 )
 
-    def _suffix_span(self, slot_id: int) -> int:
-        """Padded token span of a cached slot's suffix prefill (compile key)."""
-        s = self._slots[slot_id]
-        return _round_up(len(s.req.prompt) - s.cached_len, self.prompt_bucket)
+    def _suffix_span(self, row: tuple[int, int, int]) -> int:
+        """Padded token span of a suffix/piece row ``(slot_id, start, end)``
+        (the compile-key bucket)."""
+        _sid, start, end = row
+        return _round_up(end - start, self.prompt_bucket)
 
     def _suffix_fn(self, s_bucket: int, group: int, f_bucket: int | None):
         key = ("suffix", s_bucket, group, f_bucket)
         if key not in self._prefill_cache:
             cfg = self.cfg
             n_pages = self.n_pages
-            if self.speculate_k > 0:
+            if self.speculate_k > 0 and f_bucket is not None:
                 def pre(params, pools, tokens, start, table, new_ids, hist, full_tokens, slot_ids):
                     return prefill_suffix(
                         params, tokens, start, cfg, pools, table, new_ids, n_pages=n_pages,
@@ -1086,10 +1136,15 @@ class PagedDecodeEngine:
             self._prefill_cache[key] = jax.jit(fill, donate_argnums=(0,))
         return self._prefill_cache[key]
 
-    def _dispatch_suffix(self, batch: list[tuple[int, int]], s_bucket: int) -> None:
-        """One suffix-prefill dispatch for ``batch`` rows sharing a suffix
-        bucket: tokens/start/page-table/new-page operands built from host
-        mirrors; trash-pads pages beyond each row's owned set."""
+    def _dispatch_suffix(
+        self, batch: list[tuple[int, int, int]], s_bucket: int, *, with_hist: bool
+    ) -> None:
+        """One suffix-prefill dispatch for ``batch`` rows ``(slot_id, start,
+        end)`` sharing a suffix bucket: tokens/start/page-table/new-page
+        operands built from host mirrors; trash-pads pages beyond each row's
+        owned set. ``with_hist`` records the FULL prompt into the speculative
+        n-gram history (final passes only — chunked pieces defer the history
+        fill to decode admission)."""
         st = self._st
         trash = self.n_pages
         g = len(batch)
@@ -1098,11 +1153,9 @@ class PagedDecodeEngine:
         start = np.zeros((g,), np.int32)
         table = np.full((g, self.max_pages_per_seq), trash, np.int32)
         new_ids = np.full((g, n_new), trash, np.int32)
-        for r, (slot_id, _bucket) in enumerate(batch):
+        for r, (slot_id, c, end) in enumerate(batch):
             s = self._slots[slot_id]
-            prm = s.req.prompt
-            c = s.cached_len
-            suf = prm[c:]
+            suf = s.req.prompt[c:end]
             tokens[r, : len(suf)] = suf
             start[r] = c
             n_owned = len(s.pages)
@@ -1111,14 +1164,14 @@ class PagedDecodeEngine:
             upto = min(n_new, n_owned - cn)
             new_ids[r, :upto] = self._page_table[slot_id, cn : cn + upto]
         t0 = time.perf_counter()
-        if self.speculate_k > 0:
+        if self.speculate_k > 0 and with_hist:
             f_bucket = max(
                 _round_up(len(self._slots[sid].req.prompt), self.prompt_bucket)
-                for sid, _ in batch
+                for sid, _c, _e in batch
             )
             full_tokens = np.full((g, f_bucket), self.pad_id, np.int32)
             slot_ids = np.full((g,), self.n_slots, np.int32)
-            for r, (sid, _b) in enumerate(batch):
+            for r, (sid, _c, _e) in enumerate(batch):
                 prm = self._slots[sid].req.prompt
                 full_tokens[r, : len(prm)] = prm
                 slot_ids[r] = sid
@@ -1136,6 +1189,75 @@ class PagedDecodeEngine:
         st.stats["prefill_dispatches"] += 1
         st.stats["prefill_rows"] += g
         st.stats["prefill_token_area"] += g * s_bucket
+
+    def _advance_prefills(self) -> None:
+        """Dispatch ONE piece per chunk-prefilling slot (batched when pieces
+        share a bucket), register the pages each piece fills into the prefix
+        cache, and open decode for slots whose prompt K/V is now complete."""
+        st = self._st
+        pieces: list[tuple[int, int, int]] = []
+        for sid, s in enumerate(self._slots):
+            if s.req is None or not s.prefilling:
+                continue
+            p = len(s.req.prompt)
+            end = min(s.prefilled + self.prefill_chunk, p)
+            pieces.append((sid, s.prefilled, end))
+        by_bucket: dict[int, list[tuple[int, int, int]]] = {}
+        for row in pieces:
+            by_bucket.setdefault(self._suffix_span(row), []).append(row)
+        for sb, rows in sorted(by_bucket.items()):
+            while rows:
+                g = next(x for x in self.PREFILL_GROUPS if x <= len(rows))
+                batch, rows = rows[:g], rows[g:]
+                self._dispatch_suffix(batch, sb, with_hist=False)
+                st.stats["prefill_pieces"] += g
+        completed: list[int] = []
+        for sid, c, end in pieces:
+            s = self._slots[sid]
+            # register pages fully covered by this piece (content now written)
+            upto = min(end // self.page_size, len(s.hashes))
+            for i in range(max(c // self.page_size, s.cached_len // self.page_size), upto):
+                h = s.hashes[i]
+                if h not in self._prefix_map:
+                    pg = s.pages[i]
+                    self._prefix_map[h] = pg
+                    self._page_hash[pg] = h
+            s.prefilled = end
+            if end >= len(s.req.prompt) - 1:
+                s.prefilling = False
+                completed.append(sid)
+        for sid in completed:
+            s = self._slots[sid]
+            req = s.req
+            p = len(req.prompt)
+            if st.use_pen:
+                cnt = np.zeros((self.cfg.vocab_size,), np.float32)
+                np.add.at(cnt, req.prompt, 1.0)
+                st.prompt_counts[sid] = cnt
+            st.active[sid] = True
+            st.admit[sid] = 1
+            st.admit_seq[sid] = p - 1
+            st.admit_tok[sid] = req.prompt[-1]
+            st.admit_budget[sid] = st.sp.max_tokens
+            st.prompt_lens[sid] = p
+        if completed and self.speculate_k > 0:
+            todo_h = completed
+            while todo_h:
+                g = next(x for x in self.PREFILL_GROUPS if x <= len(todo_h))
+                batch, todo_h = todo_h[:g], todo_h[g:]
+                f_bucket = max(
+                    _round_up(len(self._slots[sid].req.prompt), self.prompt_bucket)
+                    for sid in batch
+                )
+                tokens = np.full((g, f_bucket), self.pad_id, np.int32)
+                slot_ids = np.full((g,), self.n_slots, np.int32)
+                for r, sid in enumerate(batch):
+                    prm = self._slots[sid].req.prompt
+                    tokens[r, : len(prm)] = prm
+                    slot_ids[r] = sid
+                st.hist = self._hist_fill_fn(f_bucket, g)(
+                    st.hist, jnp.asarray(tokens), jnp.asarray(slot_ids)
+                )
 
     def _collect(self, slot_id: int) -> None:
         st = self._st
@@ -1251,16 +1373,28 @@ class PagedDecodeEngine:
             if res is None:
                 break  # pool tight: stop admitting, let running slots finish
             claim, group_copies = res
-            admitted.append(claim)
+            if not self._slots[claim[0]].prefilling:
+                admitted.append(claim)  # chunk-prefilling slots piece through _advance_prefills
             copies.extend(group_copies)
             free_ids = free_ids[len(group_copies) + 1 :]
         if admitted:
             self._prefill_admitted(admitted)
         if copies:
             self._dispatch_copies(copies)
+        if self.prefill_chunk is not None:
+            self._advance_prefills()
 
-        runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
+        runnable = [
+            i for i, s in enumerate(self._slots)
+            if s.req is not None and not s.done and not s.prefilling
+        ]
         if not runnable:
+            if any(s.req is not None and s.prefilling for s in self._slots):
+                # decode is idle but chunked prefills are progressing; keep
+                # harvesting so done slots free up while pieces dispatch
+                if st.pending:
+                    self._harvest_oldest()
+                return
             if st.pending:
                 self._harvest_oldest()
                 return
@@ -1326,8 +1460,15 @@ class PagedDecodeEngine:
                     st.suspend_admission = True
                     return
 
-        # 3) dispatch one compiled chunk for every active slot (async)
-        runnable = [i for i, s in enumerate(self._slots) if s.req is not None and not s.done]
+        # 3) dispatch one compiled chunk for every active slot (async).
+        # Chunk-prefilling slots are NOT in-chunk: they are inactive in the
+        # control array AND their device-side done flag still holds the
+        # previous occupant's latched value — harvesting them would collect
+        # an unstarted request.
+        runnable = [
+            i for i, s in enumerate(self._slots)
+            if s.req is not None and not s.done and not s.prefilling
+        ]
         if not runnable:
             return
         t0 = time.perf_counter()

@@ -813,3 +813,111 @@ def test_prefix_cache_survives_preemption(setup):
     for prompt, out in zip(prompts, outs):
         assert out["token_ids"] == naive_greedy(params, cfg, prompt, 6)
     _cache_invariant(engine)
+
+
+# --- chunked prefill (vLLM chunked-prefill role) ----------------------------------
+
+
+def test_chunked_prefill_lossless(setup):
+    """prefill_chunk splits long prompts into per-step pieces; outputs must
+    equal the unchunked greedy stream, short prompts are unaffected, and
+    decode keeps dispatching between pieces."""
+    cfg, params = setup
+    rng = np.random.default_rng(71)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, 40).tolist(),  # 5 pieces at chunk=8
+        rng.integers(0, cfg.vocab_size, 5).tolist(),   # unchunked (short)
+        rng.integers(0, cfg.vocab_size, 23).tolist(),  # 3 pieces
+        rng.integers(0, cfg.vocab_size, 9).tolist(),   # needs exactly 8 positions -> unchunked
+    ]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+    engine = make_engine(params, cfg, max_context=64, prefill_chunk=8)
+    outs = engine.generate_batch(prompts, sp)
+    assert engine.last_stats["prefill_pieces"] == 5 + 3
+    for prompt, out in zip(prompts, outs):
+        assert out["token_ids"] == naive_greedy(params, cfg, prompt, 6)
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
+
+
+def test_chunked_prefill_interleaves_decode(setup):
+    """While a long prompt pieces through prefill, already-running slots keep
+    emitting: the long arrival must not convoy the batch."""
+    cfg, params = setup
+    rng = np.random.default_rng(73)
+    sp = SamplingParams(temperature=0.0, max_tokens=10, stop_token_ids=())
+    engine = make_engine(params, cfg, n_slots=2, max_context=64, prefill_chunk=8)
+    short = rng.integers(0, cfg.vocab_size, 4).tolist()
+    long = rng.integers(0, cfg.vocab_size, 40).tolist()
+
+    engine.begin_stream(sp)
+    engine.add_request(short)
+    done = {}
+    for rec in engine.step():  # admit + first chunk dispatched for short
+        done[rec["request_id"]] = rec
+    engine.add_request(long)   # arrives mid-stream; pieces through prefill
+    chunk_dispatches_during_prefill = 0
+    while not engine.stream_idle:
+        was_prefilling = any(s.req is not None and s.prefilling for s in engine._slots)
+        before = engine._st.stats["chunk_dispatches"]
+        for rec in engine.step():
+            done[rec["request_id"]] = rec
+        if was_prefilling and engine._st.stats["chunk_dispatches"] > before:
+            chunk_dispatches_during_prefill += 1
+    engine.end_stream()
+    assert chunk_dispatches_during_prefill > 0  # decode ran between pieces
+    assert done[0]["outputs"][0]["token_ids"] == naive_greedy(params, cfg, short, 10)
+    assert done[1]["outputs"][0]["token_ids"] == naive_greedy(params, cfg, long, 10)
+
+
+def test_chunked_prefill_with_prefix_cache(setup):
+    """Pieces start at the cached length and register pages as they dispatch:
+    a second stream over the same long prompt skips already-written pieces."""
+    cfg, params = setup
+    rng = np.random.default_rng(79)
+    long = rng.integers(0, cfg.vocab_size, 40).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=5, stop_token_ids=())
+    engine = make_engine(params, cfg, max_context=64, prefill_chunk=8)
+    ref = naive_greedy(params, cfg, long, 5)
+    outs1 = engine.generate_batch([long], sp)
+    pieces1 = engine.last_stats["prefill_pieces"]
+    outs2 = engine.generate_batch([long], sp)
+    assert engine.last_stats["cached_prompt_tokens"] == 32  # (40-1)//8 pages
+    assert engine.last_stats["prefill_pieces"] < pieces1
+    assert outs1[0]["token_ids"] == outs2[0]["token_ids"] == ref
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
+
+
+def test_chunked_prefill_preemption_mid_prefill(setup):
+    """A pool squeezed mid-prefill preempts the chunking slot; its re-admission
+    resumes from the cache-registered pieces and the output is unchanged."""
+    cfg, params = setup
+    rng = np.random.default_rng(83)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+    engine = make_engine(params, cfg, n_slots=2, n_pages=8, max_context=64, prefill_chunk=8)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, 30).tolist(),
+        rng.integers(0, cfg.vocab_size, 8).tolist(),
+    ]
+    outs = engine.generate_batch(prompts, sp)
+    for prompt, out in zip(prompts, outs):
+        assert out["token_ids"] == naive_greedy(params, cfg, prompt, 8)
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
+
+
+def test_chunked_prefill_with_spec_decode(setup):
+    """Chunked pieces defer the n-gram history fill to decode admission; the
+    speculative stream stays lossless."""
+    cfg, params = setup
+    rng = np.random.default_rng(89)
+    long = rng.integers(0, cfg.vocab_size, 33).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+    engine = make_engine(params, cfg, max_context=64, prefill_chunk=8, speculate_k=2)
+    outs = engine.generate_batch([long], sp)
+    assert engine.last_stats["prefill_pieces"] >= 4
+    assert outs[0]["token_ids"] == naive_greedy(params, cfg, long, 8)
+
+
+def test_chunked_prefill_invalid_chunk(setup):
+    cfg, params = setup
+    with pytest.raises(ValueError, match="prefill_chunk"):
+        make_engine(params, cfg, prefill_chunk=12)  # not a bucket multiple
