@@ -15,7 +15,8 @@ FLOPs) and single-chunk fused CE — measured 13.2k vs 10.6k tokens/s for the
 naive bs16 x accum4 full-remat layout (tools/bench_sweep.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"} where
-extra carries the SFT-shape and packed-CPT throughputs (packed must be >= dense)
+extra carries the SFT-shape and packed-CPT throughputs (packed within ~2% of
+dense — the packed flash kernels pay one extra [bq, S] segment-mask pass)
 plus the paged continuous-batching decode numbers (bf16 + opt-in int8) at the
 serving shape — driver-captured so BENCH_r0N records decode, not just train.
 
