@@ -921,3 +921,44 @@ def test_chunked_prefill_invalid_chunk(setup):
     cfg, params = setup
     with pytest.raises(ValueError, match="prefill_chunk"):
         make_engine(params, cfg, prefill_chunk=12)  # not a bucket multiple
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_scheduler_fuzz_feature_compositions(setup, seed):
+    """Fuzz the round-3 serving features TOGETHER: several streams over ONE
+    engine, prompts drawn from a small pool of shared stems (forcing prefix
+    hits, partial matches, and LRU eviction in a tight page pool), random
+    prefill_chunk (piecing long prompts), random chunk/pipeline geometry.
+    Every output must equal the naive sequential stream; page accounting must
+    balance after every stream."""
+    cfg, params = setup
+    rng = np.random.default_rng(100 + seed)
+    stems = [rng.integers(1, cfg.vocab_size - 1, int(n)).tolist() for n in rng.integers(9, 33, 3)]
+    max_tokens = int(rng.integers(2, 7))
+    chunked = bool(rng.random() < 0.5)
+    eng = make_engine(
+        params, cfg,
+        n_slots=int(rng.integers(2, 5)),
+        n_pages=int(rng.integers(10, 18)),  # tight: forces eviction + preemption
+        max_context=64,
+        chunk=int(rng.integers(2, 6)),
+        pipeline_depth=int(rng.integers(1, 4)),
+        prefill_chunk=8 if chunked else None,
+    )
+    sp = SamplingParams(temperature=0.0, max_tokens=max_tokens, stop_token_ids=())
+    naive_cache: dict[tuple, list[int]] = {}
+    for _stream in range(3):
+        prompts = []
+        for _ in range(int(rng.integers(2, 7))):
+            stem = stems[int(rng.integers(0, len(stems)))]
+            cut = int(rng.integers(1, len(stem) + 1))
+            ext = rng.integers(1, cfg.vocab_size - 1, int(rng.integers(0, 9))).tolist()
+            prompts.append(stem[:cut] + ext)
+        outs = eng.generate_batch(prompts, sp)
+        for prompt, out in zip(prompts, outs):
+            key = tuple(prompt)
+            if key not in naive_cache:
+                naive_cache[key] = naive_greedy(params, cfg, prompt, max_tokens)
+            assert out["token_ids"] == naive_cache[key], (seed, _stream, len(prompt))
+        assert len(eng._free_pages) + len(eng._cache_lru) == eng.n_pages
+        assert set(eng._page_hash) == set(eng._prefix_map.values())
