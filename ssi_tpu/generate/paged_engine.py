@@ -57,6 +57,7 @@ class _Request:
     out: list[int] = field(default_factory=list)
     clp: float = 0.0
     done_reason: str | None = None
+    max_tokens: int | None = None  # per-request budget (<= stream sp.max_tokens)
 
 
 @dataclass
@@ -799,33 +800,46 @@ class PagedDecodeEngine:
         st.t_start = time.perf_counter()
         self._st = st
 
-    def add_request(self, prompt: list[int]) -> int:
+    def add_request(self, prompt: list[int], max_tokens: int | None = None) -> int:
         """Enqueue one prompt on the active stream; returns its request id.
         The request's sp.n sequences are queued as a gang (shared prefix pages).
         Callable at any point in the stream — new arrivals are admitted into
-        slots as they free up."""
+        slots as they free up.
+
+        ``max_tokens`` optionally caps THIS request below the stream's
+        ``sp.max_tokens`` (the serving endpoint's per-request budget — the
+        compiled program is shared, the budget rides the control array)."""
         st = self._require_stream()
         sp = st.sp
+        if max_tokens is not None and not 1 <= max_tokens <= sp.max_tokens:
+            raise ValueError(
+                f"Per-request max_tokens ({max_tokens}) must be in [1, stream "
+                f"max_tokens = {sp.max_tokens}] (one compiled program per stream)"
+            )
+        mt = max_tokens if max_tokens is not None else sp.max_tokens
         if len(prompt) == 0:
             raise ValueError("Prompt is empty")
-        if len(prompt) + sp.max_tokens > self.max_context:
+        if len(prompt) + mt > self.max_context:
             raise ValueError(
-                f"Prompt ({len(prompt)} tokens) + max_tokens ({sp.max_tokens}) exceeds "
+                f"Prompt ({len(prompt)} tokens) + max_tokens ({mt}) exceeds "
                 f"max_context ({self.max_context})"
             )
         # reject unservable requests upfront: an admission/preemption cycle
         # can never free more than the whole pool
-        need = self._pages_needed(max(_round_up(len(prompt), self.prompt_bucket), len(prompt) + sp.max_tokens))
+        need = self._pages_needed(max(_round_up(len(prompt), self.prompt_bucket), len(prompt) + mt))
         if need > self.n_pages:
             raise RuntimeError(
                 f"KV page pool too small for this prompt: needs {need} pages "
-                f"(prompt {len(prompt)} + max_tokens {sp.max_tokens}), pool has {self.n_pages}"
+                f"(prompt {len(prompt)} + max_tokens {mt}), pool has {self.n_pages}"
             )
         idx = st.next_idx
         st.next_idx += 1
         # the queue holds GROUPS: the n sequences of a prompt admit together so
         # they can share prefix pages; preempted/split members re-queue solo
-        st.queue.append([_Request(idx=idx, prompt=list(prompt), seq=j) for j in range(sp.n)])
+        st.queue.append([
+            _Request(idx=idx, prompt=list(prompt), seq=j, max_tokens=max_tokens)
+            for j in range(sp.n)
+        ])
         st.expected[idx] = sp.n
         st.stats["prompt_tokens"] += len(prompt)
         return idx
@@ -958,7 +972,7 @@ class PagedDecodeEngine:
         st.admit[slot_id] = 1
         st.admit_seq[slot_id] = p - 1
         st.admit_tok[slot_id] = req.prompt[-1]
-        st.admit_budget[slot_id] = st.sp.max_tokens
+        st.admit_budget[slot_id] = req.max_tokens if req.max_tokens is not None else st.sp.max_tokens
         st.prompt_lens[slot_id] = p
         return slot_id, p_bucket
 
@@ -1238,7 +1252,7 @@ class PagedDecodeEngine:
             st.admit[sid] = 1
             st.admit_seq[sid] = p - 1
             st.admit_tok[sid] = req.prompt[-1]
-            st.admit_budget[sid] = st.sp.max_tokens
+            st.admit_budget[sid] = req.max_tokens if req.max_tokens is not None else st.sp.max_tokens
             st.prompt_lens[sid] = p
         if completed and self.speculate_k > 0:
             todo_h = completed
@@ -1264,7 +1278,7 @@ class PagedDecodeEngine:
         sp = st.sp
         slot = self._slots[slot_id]
         req = slot.req
-        token_ids = req.out[: sp.max_tokens]
+        token_ids = req.out[: req.max_tokens if req.max_tokens is not None else sp.max_tokens]
         stopped = bool(token_ids) and token_ids[-1] in st.stop_set
         st.results[req.idx, req.seq] = {
             "token_ids": token_ids,
@@ -1433,9 +1447,10 @@ class PagedDecodeEngine:
             # window past the final advance — provision for both
             t_mult = self.speculate_k + 1
             lookahead = self.chunk * t_mult * (1 + chunks_ahead.get(slot_id, 0)) + (t_mult - 1)
+            mt = s.req.max_tokens if s.req.max_tokens is not None else sp.max_tokens
             cap = max(
                 _round_up(len(s.req.prompt), self.prompt_bucket),
-                len(s.req.prompt) + sp.max_tokens,
+                len(s.req.prompt) + mt,
             )
             target = min(s.seq_len + lookahead + 1, self.max_context, cap)
             while not self._ensure_capacity(slot_id, target):

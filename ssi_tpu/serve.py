@@ -1,0 +1,286 @@
+"""OpenAI-style HTTP serving over the paged engine — the ``vllm serve`` role.
+
+The reference serves generation through vLLM (ref: scripts/generate.py:112-118,
+whose production counterpart is ``vllm serve``); this module is the standing
+server: a single scheduler thread owns the engine (JAX dispatch stays
+single-threaded) and runs the incremental API in a loop, HTTP handler threads
+submit requests through a queue and block on per-request events.
+
+Endpoints (stdlib ``http.server`` — no third-party web stack):
+
+- ``POST /v1/completions`` — body ``{"prompt": str | [int], "max_tokens"?}``.
+  String prompts require a tokenizer; token-id prompts always work. Returns an
+  OpenAI-shaped text_completion with ``token_ids`` in every choice (and
+  ``text`` when a tokenizer is present).
+- ``GET /health`` — liveness.
+- ``GET /v1/models`` — the served model id.
+- ``GET /metrics`` — scheduler counters (prefix-cache hits, preemptions,
+  chunk dispatches, ...) plus page-pool gauges.
+
+One stream = one compiled program = one set of sampling params; requests may
+only lower ``max_tokens`` per call (it rides the control array). vLLM makes
+the same program-per-config trade per engine instance.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from ssi_tpu.generate.engine import SamplingParams
+
+LOGGER = logging.getLogger(__name__)
+
+
+@dataclass
+class _Pending:
+    prompt: list[int]
+    max_tokens: int | None
+    event: threading.Event = field(default_factory=threading.Event)
+    outputs: list[dict] | None = None
+    error: str | None = None
+
+
+class Server:
+    """Scheduler thread + request queue around one PagedDecodeEngine stream."""
+
+    def __init__(
+        self,
+        engine: Any,
+        sp: SamplingParams,
+        *,
+        tokenizer: Any = None,
+        model_id: str = "ssi-tpu",
+        idle_poll_s: float = 0.02,
+    ):
+        self.engine = engine
+        self.sp = sp
+        self.tokenizer = tokenizer
+        self.model_id = model_id
+        self.idle_poll_s = idle_poll_s
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._started = threading.Event()
+        self._n_requests = 0
+
+    # --- scheduler thread ----------------------------------------------------------
+
+    def _loop(self) -> None:
+        eng = self.engine
+        eng.begin_stream(self.sp)
+        self._started.set()
+        by_id: dict[int, _Pending] = {}
+
+        def admit(item: _Pending) -> bool:
+            try:
+                rid = eng.add_request(item.prompt, max_tokens=item.max_tokens)
+            except Exception as e:  # validation errors -> the waiting handler
+                item.error = str(e)
+                item.event.set()
+                return False
+            by_id[rid] = item
+            return True
+
+        try:
+            while not self._stop.is_set() or by_id or not self._q.empty():
+                moved = False
+                while True:
+                    try:
+                        item = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    moved |= admit(item)
+                if not by_id and not moved:
+                    # nothing in flight: block briefly on the queue instead of
+                    # spinning step() against an idle engine
+                    try:
+                        admit(self._q.get(timeout=self.idle_poll_s))
+                    except queue.Empty:
+                        pass
+                    continue
+                for rec in eng.step():
+                    pend = by_id.pop(rec["request_id"], None)
+                    if pend is not None:
+                        pend.outputs = rec["outputs"]
+                        pend.event.set()
+        finally:
+            eng.end_stream()
+            # unblock anything still waiting (server shutdown)
+            for pend in by_id.values():
+                pend.error = "server shut down"
+                pend.event.set()
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._loop, name="ssi-serve-scheduler", daemon=True)
+        self._thread.start()
+        self._started.wait()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=60)
+
+    # --- request API ----------------------------------------------------------------
+
+    def submit(self, prompt: list[int], max_tokens: int | None, timeout_s: float = 600) -> _Pending:
+        pend = _Pending(prompt=prompt, max_tokens=max_tokens)
+        self._q.put(pend)
+        if not pend.event.wait(timeout=timeout_s):
+            pend.error = "timed out"
+        self._n_requests += 1
+        return pend
+
+    def metrics(self) -> dict:
+        eng = self.engine
+        stats = dict(eng.last_stats) if eng.last_stats else {}
+        stats.update(
+            requests=self._n_requests,
+            free_pages=len(eng._free_pages),
+            cached_pages=len(eng._cache_lru),
+            n_pages=eng.n_pages,
+        )
+        return stats
+
+
+def _make_handler(server: Server):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet the default per-request stderr lines
+        def log_message(self, fmt, *args):
+            LOGGER.debug("http: " + fmt, *args)
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [{"id": server.model_id, "object": "model"}]})
+            elif self.path == "/metrics":
+                self._json(200, server.metrics())
+            else:
+                self._json(404, {"error": {"message": f"unknown path {self.path}"}})
+
+        def do_POST(self):
+            if self.path != "/v1/completions":
+                self._json(404, {"error": {"message": f"unknown path {self.path}"}})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                prompt = req.get("prompt")
+                if isinstance(prompt, str):
+                    if server.tokenizer is None:
+                        raise ValueError("string prompts need a tokenizer; pass token ids")
+                    tokens = server.tokenizer.encode(prompt, add_bos=True, add_eos=False)
+                elif isinstance(prompt, list) and all(isinstance(t, int) for t in prompt):
+                    tokens = prompt
+                else:
+                    raise ValueError("prompt must be a string or a list of token ids")
+                mt = req.get("max_tokens")
+                mt = int(mt) if mt is not None else None
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": {"message": str(e), "type": "invalid_request_error"}})
+                return
+
+            pend = server.submit(tokens, mt)
+            if pend.error is not None:
+                self._json(400, {"error": {"message": pend.error, "type": "invalid_request_error"}})
+                return
+            choices = []
+            for i, out in enumerate(pend.outputs):
+                choice = {
+                    "index": i,
+                    "token_ids": out["token_ids"],
+                    "finish_reason": out["finish_reason"],
+                    "cumulative_logprob": out["cumulative_logprob"],
+                }
+                if server.tokenizer is not None:
+                    choice["text"] = server.tokenizer.decode(out["token_ids"])
+                choices.append(choice)
+            self._json(200, {
+                "id": f"cmpl-{int(time.time() * 1e3)}",
+                "object": "text_completion",
+                "model": server.model_id,
+                "choices": choices,
+                "usage": {
+                    "prompt_tokens": len(tokens),
+                    "completion_tokens": sum(len(c["token_ids"]) for c in choices),
+                },
+            })
+
+    return Handler
+
+
+def run_http_server(server: Server, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHTTPServer:
+    """Bind and return the HTTP server (caller drives serve_forever/shutdown)."""
+    httpd = ThreadingHTTPServer((host, port), _make_handler(server))
+    return httpd
+
+
+def serve_forever(server: Server, host: str = "127.0.0.1", port: int = 8000) -> None:
+    server.start()
+    httpd = run_http_server(server, host, port)
+    LOGGER.info(f"serving on http://{host}:{port} (model {server.model_id})")
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.shutdown()
+        server.stop()
+
+
+def run_server(cfg: Any) -> None:
+    """CLI body: load checkpoint + tokenizer (same resolution as generation,
+    ref: scripts/generate.py:59-105) and serve until interrupted."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssi_tpu.checkpoint import Checkpointer
+    from ssi_tpu.generate import _serving_mesh
+    from ssi_tpu.generate.paged_engine import PagedDecodeEngine
+    from ssi_tpu.models.configs import get_model_config
+    from ssi_tpu.tokenizer import setup_llama3_tokenizer
+
+    tokenizer, _special = setup_llama3_tokenizer(**{k: v for k, v in cfg.tokenizer.items()})
+    stop_token_ids = cfg.sampling_params.get("stop_token_ids")
+    if stop_token_ids is None:
+        stop_token_ids = list(tokenizer.stop_tokens)
+
+    model_cfg = get_model_config(cfg.get("model_config", "llama3_2_1b")).copy()
+    model_cfg.update_from_speech_cfg(cfg.speech)
+    import tempfile
+
+    checkpointer = Checkpointer(
+        checkpoint_dir=cfg.model,
+        output_dir=tempfile.mkdtemp(prefix="ssi_serve_ckpt_"),  # loader never writes here
+        model_expectations=model_cfg.checkpoint_expectations,
+    )
+    dtype = jnp.bfloat16 if cfg.get("dtype", "bf16") == "bf16" else jnp.float32
+    params = checkpointer.load_params(model_cfg, dtype=dtype)
+    params = jax.device_put(params)
+
+    sp = SamplingParams.from_cfg(cfg.sampling_params, stop_token_ids)
+    engine = PagedDecodeEngine(
+        params, model_cfg, pad_id=tokenizer.pad_id,
+        n_slots=int(cfg.get("batch_size", 32)),
+        max_context=int(cfg.get("max_cache_len") or 4096),
+        quantize=cfg.get("quantize_weights"),
+        speculate_k=int(cfg.get("speculate_k", 0) or 0),
+        prefix_caching=bool(cfg.get("prefix_caching", True)),
+        mesh=_serving_mesh(int(cfg.get("tensor_parallel", 1) or 1)),
+        prefill_chunk=cfg.get("prefill_chunk"),
+    )
+    server = Server(engine, sp, tokenizer=tokenizer, model_id=str(cfg.model))
+    serve_forever(server, host=str(cfg.server.host), port=int(cfg.server.port))

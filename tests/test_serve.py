@@ -1,0 +1,137 @@
+"""HTTP serving layer: OpenAI-shaped completions over the paged engine
+(the `vllm serve` role; ref reaches vLLM at scripts/generate.py:112-118).
+
+Hermetic: binds an ephemeral localhost port, posts via urllib. Correctness
+bar is the usual one — greedy outputs equal the naive sequential stream —
+plus concurrency (parallel posts share the continuous-batching stream) and
+the per-request max_tokens budget.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssi_tpu.generate.engine import SamplingParams
+from ssi_tpu.models.llama3 import init_params
+from ssi_tpu.serve import Server, run_http_server
+from tests import helpers
+from tests.test_paged_decode import make_engine, naive_greedy
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = helpers.tiny_config()
+    params = init_params(cfg, jax.random.key(7), dtype=jnp.float32)
+    return cfg, params
+
+
+@pytest.fixture()
+def server(setup):
+    cfg, params = setup
+    engine = make_engine(params, cfg, n_slots=3, max_context=64)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+    srv = Server(engine, sp, model_id="tiny-test")
+    srv.start()
+    httpd = run_http_server(srv, host="127.0.0.1", port=0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield srv, f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    srv.stop()
+
+
+def _post(url, path, body):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(body).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health_models_metrics(server):
+    _srv, url = server
+    code, body = _get(url, "/health")
+    assert code == 200 and body["status"] == "ok"
+    code, body = _get(url, "/v1/models")
+    assert code == 200 and body["data"][0]["id"] == "tiny-test"
+    code, body = _get(url, "/metrics")
+    assert code == 200 and "n_pages" in body
+
+
+def test_completions_greedy_matches_naive(setup, server):
+    cfg, params = setup
+    _srv, url = server
+    rng = np.random.default_rng(91)
+    prompt = rng.integers(1, cfg.vocab_size - 1, 12).tolist()
+    code, body = _post(url, "/v1/completions", {"prompt": prompt})
+    assert code == 200
+    assert body["object"] == "text_completion"
+    choice = body["choices"][0]
+    assert choice["token_ids"] == naive_greedy(params, cfg, prompt, 8)
+    assert choice["finish_reason"] == "length"
+    assert body["usage"]["prompt_tokens"] == 12
+    assert body["usage"]["completion_tokens"] == 8
+
+
+def test_completions_concurrent(setup, server):
+    """Parallel posts ride ONE continuous-batching stream; every response is
+    the request's own greedy stream."""
+    cfg, params = setup
+    _srv, url = server
+    rng = np.random.default_rng(97)
+    prompts = [rng.integers(1, cfg.vocab_size - 1, int(n)).tolist() for n in [5, 9, 14, 7, 11, 3]]
+    results = [None] * len(prompts)
+
+    def go(i):
+        results[i] = _post(url, "/v1/completions", {"prompt": prompts[i]})
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, prompt in enumerate(prompts):
+        code, body = results[i]
+        assert code == 200, (i, body)
+        assert body["choices"][0]["token_ids"] == naive_greedy(params, cfg, prompt, 8), i
+
+
+def test_per_request_max_tokens(setup, server):
+    cfg, params = setup
+    _srv, url = server
+    rng = np.random.default_rng(101)
+    prompt = rng.integers(1, cfg.vocab_size - 1, 10).tolist()
+    code, body = _post(url, "/v1/completions", {"prompt": prompt, "max_tokens": 3})
+    assert code == 200
+    assert body["choices"][0]["token_ids"] == naive_greedy(params, cfg, prompt, 3)
+    # above the stream budget -> clean 400, server keeps serving
+    code, body = _post(url, "/v1/completions", {"prompt": prompt, "max_tokens": 99})
+    assert code == 400 and "max_tokens" in body["error"]["message"]
+    code, body = _post(url, "/v1/completions", {"prompt": prompt})
+    assert code == 200
+
+
+def test_invalid_requests(server):
+    _srv, url = server
+    code, body = _post(url, "/v1/completions", {"prompt": "text needs a tokenizer"})
+    assert code == 400 and "tokenizer" in body["error"]["message"]
+    code, body = _post(url, "/v1/completions", {"prompt": {"bad": 1}})
+    assert code == 400
+    code, body = _post(url, "/v1/completions", {"prompt": []})
+    assert code == 400
+    code, body = _post(url, "/nope", {})
+    assert code == 404
