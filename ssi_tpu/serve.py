@@ -45,6 +45,16 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     outputs: list[dict] | None = None
     error: str | None = None
+    # streaming: the scheduler pushes newly-harvested token-id deltas here and
+    # a final None sentinel; `sent` tracks how many tokens have been pushed.
+    # Under greedy decoding deltas are exact even across preemption (the
+    # re-decode reproduces the same stream, only tokens past `sent` are
+    # pushed); with temperature > 0 a preempted request's re-sampled prefix
+    # may diverge from what was already streamed (vLLM's recompute preemption
+    # has the same property).
+    stream: bool = False
+    deltas: "queue.Queue[list[int] | None]" = field(default_factory=queue.Queue)
+    sent: int = 0
 
 
 class Server:
@@ -83,6 +93,8 @@ class Server:
                 rid = eng.add_request(item.prompt, max_tokens=item.max_tokens)
             except Exception as e:  # validation errors -> the waiting handler
                 item.error = str(e)
+                if item.stream:
+                    item.deltas.put(None)
                 item.event.set()
                 return False
             by_id[rid] = item
@@ -109,12 +121,34 @@ class Server:
                     pend = by_id.pop(rec["request_id"], None)
                     if pend is not None:
                         pend.outputs = rec["outputs"]
+                        if pend.stream:
+                            out = pend.outputs[0]["token_ids"]
+                            if len(out) > pend.sent:
+                                pend.deltas.put(out[pend.sent :])
+                                pend.sent = len(out)
+                            pend.deltas.put(None)  # terminal sentinel
                         pend.event.set()
+                # push newly-harvested tokens of still-running streamed requests
+                if any(p.stream for p in by_id.values()):
+                    for slot in eng._slots:
+                        req = slot.req
+                        if req is None or req.idx not in by_id:
+                            continue
+                        pend = by_id[req.idx]
+                        if not pend.stream:
+                            continue
+                        cap = pend.max_tokens if pend.max_tokens is not None else self.sp.max_tokens
+                        have = min(len(req.out), cap)
+                        if have > pend.sent:
+                            pend.deltas.put(req.out[pend.sent : have])
+                            pend.sent = have
         finally:
             eng.end_stream()
             # unblock anything still waiting (server shutdown)
             for pend in by_id.values():
                 pend.error = "server shut down"
+                if pend.stream:
+                    pend.deltas.put(None)
                 pend.event.set()
 
     def start(self) -> None:
@@ -134,6 +168,14 @@ class Server:
         self._q.put(pend)
         if not pend.event.wait(timeout=timeout_s):
             pend.error = "timed out"
+        self._n_requests += 1
+        return pend
+
+    def submit_stream(self, prompt: list[int], max_tokens: int | None) -> _Pending:
+        """Enqueue a streamed request and return immediately; the caller
+        drains ``pend.deltas`` (token-id lists, then a None sentinel)."""
+        pend = _Pending(prompt=prompt, max_tokens=max_tokens, stream=True)
+        self._q.put(pend)
         self._n_requests += 1
         return pend
 
@@ -173,6 +215,45 @@ def _make_handler(server: Server):
             else:
                 self._json(404, {"error": {"message": f"unknown path {self.path}"}})
 
+        def _stream_completion(self, tokens: list[int], mt: int | None) -> None:
+            """Server-sent events: one `data:` line per harvested token delta,
+            a final record with finish_reason, then `data: [DONE]`."""
+            pend = server.submit_stream(tokens, mt)
+            cid = f"cmpl-{int(time.time() * 1e3)}"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+            def emit(obj: dict) -> None:
+                self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+                self.wfile.flush()
+
+            while True:
+                try:
+                    delta = pend.deltas.get(timeout=600)
+                except queue.Empty:
+                    pend.error = "timed out"
+                    break
+                if delta is None:
+                    break
+                choice = {"index": 0, "token_ids": delta, "finish_reason": None}
+                if server.tokenizer is not None:
+                    choice["text"] = server.tokenizer.decode(delta)
+                emit({"id": cid, "object": "text_completion", "model": server.model_id,
+                      "choices": [choice]})
+            if pend.error is not None:
+                emit({"id": cid, "error": {"message": pend.error}})
+            else:
+                out = pend.outputs[0]
+                emit({"id": cid, "object": "text_completion", "model": server.model_id,
+                      "choices": [{"index": 0, "token_ids": [],
+                                   "finish_reason": out["finish_reason"]}],
+                      "usage": {"prompt_tokens": len(tokens),
+                                "completion_tokens": len(out["token_ids"])}})
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
         def do_POST(self):
             if self.path != "/v1/completions":
                 self._json(404, {"error": {"message": f"unknown path {self.path}"}})
@@ -191,8 +272,15 @@ def _make_handler(server: Server):
                     raise ValueError("prompt must be a string or a list of token ids")
                 mt = req.get("max_tokens")
                 mt = int(mt) if mt is not None else None
+                stream = bool(req.get("stream", False))
+                if stream and server.sp.n != 1:
+                    raise ValueError("stream=true requires sampling n == 1")
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": {"message": str(e), "type": "invalid_request_error"}})
+                return
+
+            if stream:
+                self._stream_completion(tokens, mt)
                 return
 
             pend = server.submit(tokens, mt)

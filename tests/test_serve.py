@@ -135,3 +135,38 @@ def test_invalid_requests(server):
     assert code == 400
     code, body = _post(url, "/nope", {})
     assert code == 404
+
+
+def test_streaming_completion(setup, server):
+    """stream=true: SSE events deliver token deltas incrementally; their
+    concatenation equals the naive greedy stream and the final record carries
+    finish_reason + usage."""
+    cfg, params = setup
+    _srv, url = server
+    rng = np.random.default_rng(103)
+    prompt = rng.integers(1, cfg.vocab_size - 1, 9).tolist()
+    req = urllib.request.Request(
+        url + "/v1/completions",
+        data=json.dumps({"prompt": prompt, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        while True:
+            line = r.readline().decode()
+            if not line:
+                break
+            line = line.strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            events.append(json.loads(payload))
+    assert len(events) >= 2  # at least one delta + the final record
+    final = events[-1]
+    assert final["choices"][0]["finish_reason"] == "length"
+    got = [t for e in events[:-1] for t in e["choices"][0]["token_ids"]]
+    assert got == naive_greedy(params, cfg, prompt, 8)
+    assert final["usage"]["completion_tokens"] == 8
