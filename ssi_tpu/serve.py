@@ -87,6 +87,7 @@ class Server:
         eng.begin_stream(self.sp)
         self._started.set()
         by_id: dict[int, _Pending] = {}
+        restarts = 0
 
         def admit(item: _Pending) -> bool:
             try:
@@ -117,7 +118,25 @@ class Server:
                     except queue.Empty:
                         pass
                     continue
-                for rec in eng.step():
+                try:
+                    records = eng.step()
+                except Exception as e:
+                    # a failed step ends the engine stream (it released every
+                    # slot/page); fail the in-flight requests and restart so
+                    # the server outlives one bad scheduling state
+                    restarts += 1
+                    LOGGER.exception(f"engine step failed (restart {restarts}): {e}")
+                    for pend in by_id.values():
+                        pend.error = f"engine error: {e}"
+                        if pend.stream:
+                            pend.deltas.put(None)
+                        pend.event.set()
+                    by_id.clear()
+                    if restarts > 16:
+                        raise  # persistent failure: stop serving rather than loop
+                    eng.begin_stream(self.sp)
+                    continue
+                for rec in records:
                     pend = by_id.pop(rec["request_id"], None)
                     if pend is not None:
                         pend.outputs = rec["outputs"]

@@ -170,3 +170,28 @@ def test_streaming_completion(setup, server):
     got = [t for e in events[:-1] for t in e["choices"][0]["token_ids"]]
     assert got == naive_greedy(params, cfg, prompt, 8)
     assert final["usage"]["completion_tokens"] == 8
+
+
+def test_server_survives_engine_error(setup, server):
+    """An engine-step failure fails the in-flight requests with a clean error
+    and restarts the stream — later requests are served normally."""
+    cfg, params = setup
+    srv, url = server
+    real_step = srv.engine.step
+    state = {"armed": True}
+
+    def flaky_step():
+        if state["armed"]:
+            state["armed"] = False
+            srv.engine.end_stream()  # mimic step()'s release-everything-on-raise
+            raise RuntimeError("injected fault")
+        return real_step()
+
+    srv.engine.step = flaky_step
+    rng = np.random.default_rng(107)
+    prompt = rng.integers(1, cfg.vocab_size - 1, 7).tolist()
+    code, body = _post(url, "/v1/completions", {"prompt": prompt})
+    assert code == 400 and "engine error" in body["error"]["message"]
+    code, body = _post(url, "/v1/completions", {"prompt": prompt})
+    assert code == 200
+    assert body["choices"][0]["token_ids"] == naive_greedy(params, cfg, prompt, 8)
