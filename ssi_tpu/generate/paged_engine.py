@@ -41,12 +41,100 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssi_tpu.generate.engine import SamplingParams, _sample
+from ssi_tpu.generate.engine import _NEG_INF, SamplingParams
 from ssi_tpu.generate.paged import decode_step_tokens, init_pools, prefill_prompts, prefill_suffix
 from ssi_tpu.models.configs import ConfigLlama3_2
 from ssi_tpu.utils import round_up as _round_up
 
 LOGGER = logging.getLogger(__name__)
+
+# Sampling features a stream's compiled chunk program can carry. Per-REQUEST
+# sampling params (the vLLM per-request SamplingParams surface) ride the
+# control array as per-slot columns; which BRANCHES exist in the compiled
+# program is fixed per stream, because mid-stream recompiles are minutes
+# through the axon tunnel. A request whose params need a branch the stream
+# did not compile is rejected at add_request with a clear error.
+SAMPLING_FEATURES = frozenset({"sample", "topk", "topp", "pen"})
+
+# number of host-owned scalar columns at the head of the packed control array:
+# [active, admit, admit_seq, admit_tok, admit_budget, prompt_len,
+#  temp(f32), top_p(f32), top_k, presence(f32), frequency(f32),
+#  repetition(f32), rng_seed] — f32 columns travel bitcast to int32
+_N_CTRL_COLS = 13
+
+
+def _derive_features(sp: SamplingParams) -> frozenset:
+    """Minimum feature set a SamplingParams needs from the compiled program.
+
+    top-k/top-p are irrelevant under greedy decoding (argmax is truncation-
+    invariant), so a greedy request never requires the sort branch.
+    """
+    feats = set()
+    if sp.temperature != 0.0:
+        feats.add("sample")
+        if sp.top_k > 0:
+            feats.add("topk")
+        if sp.top_p < 1.0:
+            feats.add("topp")
+    if sp.uses_penalties:
+        feats.add("pen")
+    return frozenset(feats)
+
+
+def _sample_rows(logits, feats, temp, top_p, top_k, pres, freq, rep, keys,
+                 out_counts, prompt_counts):
+    """Next token + logprob from [B, V] fp32 logits with PER-ROW sampling params.
+
+    The per-slot generalization of ``engine._sample`` (same penalty scoping and
+    logprob point as vLLM: repetition sees prompt+output counts, presence/
+    frequency see output counts; logprob from the post-penalty post-temperature
+    pre-truncation distribution). ``feats`` is static and decides which branches
+    compile; a runtime ``lax.cond`` on "any row actually sampling" keeps
+    greedy-only steps at argmax cost even when the sampling branch is compiled
+    in — the sort/Gumbel work only executes on steps that need it.
+
+    Rows with ``temp == 0`` take argmax regardless of their top-k/top-p values.
+    ``keys`` are per-row PRNG keys (position-keyed by the caller, so a
+    preempted-and-recomputed request redraws the identical tokens).
+    """
+    if "pen" in feats:
+        appeared_any = (out_counts + prompt_counts) > 0
+        rp = rep[:, None]
+        bent = jnp.where(logits > 0, logits / rp, logits * rp)
+        logits = jnp.where(appeared_any, bent, logits)
+        logits = logits - freq[:, None] * out_counts \
+            - pres[:, None] * (out_counts > 0).astype(logits.dtype)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lse_raw = jax.nn.logsumexp(logits, axis=-1)
+    greedy_lp = jnp.take_along_axis(logits, greedy[:, None], axis=-1)[:, 0] - lse_raw
+    if "sample" not in feats:
+        return greedy, greedy_lp
+
+    is_samp = temp > 0.0
+
+    def sampled(_):
+        lt = logits / jnp.where(is_samp, temp, 1.0)[:, None]
+        trunc = lt
+        if "topk" in feats or "topp" in feats:
+            sorted_desc = jnp.sort(lt, axis=-1)[:, ::-1]
+            if "topk" in feats:
+                idx = jnp.clip(top_k, 1, lt.shape[-1]) - 1
+                kth = jnp.take_along_axis(sorted_desc, idx[:, None], axis=-1)
+                kth = jnp.where((top_k > 0)[:, None], kth, -jnp.inf)
+                trunc = jnp.where(lt < kth, _NEG_INF, trunc)
+            if "topp" in feats:
+                probs = jax.nn.softmax(sorted_desc, axis=-1)
+                cutoff_idx = jnp.sum(jnp.cumsum(probs, axis=-1) < top_p[:, None], axis=-1)
+                cutoff = jnp.take_along_axis(sorted_desc, cutoff_idx[:, None], axis=-1)
+                cutoff = jnp.where((top_p < 1.0)[:, None], cutoff, -jnp.inf)
+                trunc = jnp.where(lt < cutoff, _NEG_INF, trunc)
+        draw = jax.vmap(jax.random.categorical)(keys, trunc).astype(jnp.int32)
+        tok = jnp.where(is_samp, draw, greedy)
+        lse_t = jax.nn.logsumexp(lt, axis=-1)
+        lp = jnp.take_along_axis(lt, tok[:, None], axis=-1)[:, 0] - lse_t
+        return tok, jnp.where(is_samp, lp, greedy_lp)
+
+    return jax.lax.cond(jnp.any(is_samp), sampled, lambda _: (greedy, greedy_lp), None)
 
 
 @dataclass
@@ -58,6 +146,8 @@ class _Request:
     clp: float = 0.0
     done_reason: str | None = None
     max_tokens: int | None = None  # per-request budget (<= stream sp.max_tokens)
+    sampling: SamplingParams | None = None  # per-request override (None = stream sp)
+    rng_seed: int = 0             # per-sequence sampling seed (rides the control array)
 
 
 @dataclass
@@ -87,6 +177,7 @@ class _Stream:
     use_pen: bool
     stop_set: set
     chunk_fn: Any
+    features: frozenset = frozenset()  # compiled sampling branches (see SAMPLING_FEATURES)
     # request lifecycle
     queue: list[list[_Request]] = field(default_factory=list)      # admission groups
     results: dict[tuple[int, int], dict] = field(default_factory=dict)
@@ -110,6 +201,14 @@ class _Stream:
     admit_budget: Any = None
     prompt_lens: Any = None
     prompt_counts: Any = None
+    # per-slot sampling columns (host-owned, re-sent with every control array)
+    slot_temp: Any = None
+    slot_top_p: Any = None
+    slot_top_k: Any = None
+    slot_pres: Any = None
+    slot_freq: Any = None
+    slot_rep: Any = None
+    slot_seed: Any = None
     hist: Any = None               # [n_slots+1, W+1] token history (speculate_k > 0)
     stats: dict = field(default_factory=dict)
     t_start: float = 0.0
@@ -370,10 +469,10 @@ class PagedDecodeEngine:
             self._copy_fn_cache[m] = jax.jit(cp, donate_argnums=(0,))
         return self._copy_fn_cache[m]
 
-    def _chunk_fn(self, sp: SamplingParams):
+    def _chunk_fn(self, sp: SamplingParams, feats: frozenset = frozenset()):
         if self.speculate_k > 0:
             return self._chunk_fn_spec(sp)
-        cache_key = (sp, self.chunk)
+        cache_key = (sp, feats, self.chunk)
         if cache_key in self._chunk_fn_cache:
             return self._chunk_fn_cache[cache_key]
         cfg = self.cfg
@@ -385,11 +484,12 @@ class PagedDecodeEngine:
 
         # ONE packed int32 control array per dispatch carries every host-owned
         # scalar column + the page table: [active | admit | admit_seq_len |
-        # admit_tok | admit_budget | prompt_len | page_table...]. Admissions
-        # are applied INSIDE the compiled program via where-selects — the old
-        # scheme of 5 tiny `.at[].set` device dispatches per admitted slot put
-        # ~500 extra dispatches (~1 s of host-blocking time at the serving
-        # shape, measured by tools/analyze_decode.py) through the tunnel.
+        # admit_tok | admit_budget | prompt_len | per-slot sampling params
+        # (f32 cols bitcast) | page_table...]. Admissions are applied INSIDE
+        # the compiled program via where-selects — the old scheme of 5 tiny
+        # `.at[].set` device dispatches per admitted slot put ~500 extra
+        # dispatches (~1 s of host-blocking time at the serving shape,
+        # measured by tools/analyze_decode.py) through the tunnel.
         def chunk(params, pools, control, seq_lens, tok, done, budget,
                   out_counts, prompt_counts, key):
             active = control[:, 0] != 0
@@ -399,9 +499,13 @@ class PagedDecodeEngine:
             budget = jnp.where(admit, control[:, 4], budget)
             prompt_lens = control[:, 5]
             done = jnp.where(admit, False, done)
-            if sp.uses_penalties:
+            if "pen" in feats:
                 out_counts = jnp.where(admit[:, None], 0.0, out_counts)
-            page_table = control[:, 6:]
+            f32 = lambda col: jax.lax.bitcast_convert_type(control[:, col], jnp.float32)
+            temp, top_p, top_k = f32(6), f32(7), control[:, 8]
+            pres, freq, rep = f32(9), f32(10), f32(11)
+            seed_col = control[:, 12]
+            page_table = control[:, _N_CTRL_COLS:]
 
             def step(carry, _):
                 pools, seq_lens, tok, done, budget, out_counts, key, clp = carry
@@ -410,7 +514,7 @@ class PagedDecodeEngine:
                     params, tok, cfg, pools, page_table, seq_lens, advance,
                     n_pages=n_pages, attn_impl=attn_impl,
                 )
-                if sp.uses_penalties:
+                if "pen" in feats:
                     # the consumed token is an OUTPUT only once the cache has
                     # grown past the prompt (the first consumed token after
                     # admission is prompt[-1] — vLLM scopes it to prompt counts)
@@ -418,7 +522,19 @@ class PagedDecodeEngine:
                     out_counts = out_counts.at[jnp.arange(tok.shape[0]), tok].add(
                         jnp.where(jnp.logical_and(advance, is_output), 1.0, 0.0)
                     )
-                next_tok, key, lp = _sample(logits, sp, key, out_counts, prompt_counts)
+                keys = None
+                if "sample" in feats:
+                    # position-keyed per-row PRNG: (stream key, request seed,
+                    # absolute position) — independent of scheduling, so a
+                    # preempted request's recompute redraws identical tokens
+                    # and the streamed prefix never diverges
+                    keys = jax.vmap(
+                        lambda s, p: jax.random.fold_in(jax.random.fold_in(key, s), p)
+                    )(seed_col, seq_lens)
+                next_tok, lp = _sample_rows(
+                    logits, feats, temp, top_p, top_k, pres, freq, rep, keys,
+                    out_counts, prompt_counts,
+                )
                 clp = clp + jnp.where(advance, lp, 0.0)
                 seq_lens = seq_lens + advance.astype(seq_lens.dtype)
                 budget = budget - advance.astype(budget.dtype)
@@ -487,7 +603,8 @@ class PagedDecodeEngine:
             budget = jnp.where(admit, control[:, 4], budget)
             prompt_lens = control[:, 5]
             done = jnp.where(admit, False, done)
-            page_table = control[:, 6:]
+            # speculative streams are greedy-only: sampling columns 6:13 unused
+            page_table = control[:, _N_CTRL_COLS:]
             # per-slot hard write bound (mirrors the host's page provisioning
             # cap): candidates at/beyond it land on the trash page
             cap = jnp.minimum(
@@ -722,10 +839,27 @@ class PagedDecodeEngine:
     # results, admit, provision pages, dispatch one chunk) and returns the
     # requests that completed. generate_batch() is a thin driver over these.
 
-    def begin_stream(self, sp: SamplingParams, key: jax.Array | None = None) -> None:
-        """Open a request stream under one SamplingParams (one compiled chunk
-        program per sp). Exactly one stream may be active at a time — the KV
-        pool and slot set are engine-level resources."""
+    def begin_stream(
+        self,
+        sp: SamplingParams,
+        key: jax.Array | None = None,
+        features: Any = None,
+    ) -> None:
+        """Open a request stream under one default SamplingParams. Exactly one
+        stream may be active at a time — the KV pool and slot set are
+        engine-level resources.
+
+        ``features`` (iterable of SAMPLING_FEATURES names) decides which
+        sampling branches the stream's ONE compiled chunk program carries;
+        default = exactly what ``sp`` itself needs. Per-request SamplingParams
+        (``add_request(sampling=...)``) may use any compiled-in feature — a
+        serving stream typically compiles {"sample","topk","topp"} up front so
+        OpenAI-style per-request temperature/top_p/top_k/seed work without a
+        mid-stream recompile (minutes through the axon tunnel). Greedy-only
+        steps skip the sampling work at runtime (lax.cond), so unused compiled
+        branches cost nothing per step; the exception is "pen", whose
+        [n_slots, vocab] count arrays ride every dispatch — leave it off
+        unless penalties are actually served."""
         if getattr(self, "_st", None) is not None:
             raise RuntimeError("A stream is already active on this engine; call end_stream() first")
         if any(s.req is not None for s in self._slots):
@@ -736,6 +870,11 @@ class PagedDecodeEngine:
             raise ValueError("sampling_params.n must be >= 1")
         if sp.n > self.n_slots:
             raise ValueError(f"sampling_params.n ({sp.n}) cannot exceed n_slots ({self.n_slots})")
+        feats = frozenset(features) if features is not None else frozenset()
+        unknown = feats - SAMPLING_FEATURES
+        if unknown:
+            raise ValueError(f"Unknown sampling features {sorted(unknown)}; valid: {sorted(SAMPLING_FEATURES)}")
+        feats |= _derive_features(sp)
         if self.speculate_k > 0:
             # lossless speculation is defined by argmax-equality — greedy only;
             # n>1 page sharing would also need history-row forking (future work)
@@ -745,12 +884,15 @@ class PagedDecodeEngine:
                 raise ValueError("speculate_k > 0 does not compose with repetition/presence/frequency penalties")
             if sp.n != 1:
                 raise ValueError("speculate_k > 0 requires sampling_params.n == 1")
+            if feats:
+                raise ValueError("speculate_k > 0 streams are greedy-only; no sampling features")
         st = _Stream(
             sp=sp,
             key=key if key is not None else jax.random.key(0),
-            use_pen=sp.uses_penalties,
+            use_pen="pen" in feats,
             stop_set=set(sp.stop_token_ids),
-            chunk_fn=self._chunk_fn(sp),
+            chunk_fn=self._chunk_fn(sp, feats),
+            features=feats,
         )
         n = self.n_slots
         v = self.cfg.vocab_size
@@ -775,6 +917,15 @@ class PagedDecodeEngine:
         st.prompt_lens = np.zeros((n,), np.int32)
         st.out_counts = jnp.zeros((n, v) if st.use_pen else (1, 1), jnp.float32)
         st.prompt_counts = np.zeros((n, v) if st.use_pen else (1, 1), np.float32)
+        # per-slot sampling columns (defaults = greedy); the f32 ones travel
+        # bitcast to int32 inside the packed control array
+        st.slot_temp = np.zeros((n,), np.float32)
+        st.slot_top_p = np.ones((n,), np.float32)
+        st.slot_top_k = np.full((n,), -1, np.int32)
+        st.slot_pres = np.zeros((n,), np.float32)
+        st.slot_freq = np.zeros((n,), np.float32)
+        st.slot_rep = np.ones((n,), np.float32)
+        st.slot_seed = np.zeros((n,), np.int32)
         if self.speculate_k > 0:
             # n-gram history: row n_slots = trash (pad prefill rows), column
             # max_context = trash (masked emit scatters)
@@ -800,17 +951,55 @@ class PagedDecodeEngine:
         st.t_start = time.perf_counter()
         self._st = st
 
-    def add_request(self, prompt: list[int], max_tokens: int | None = None) -> int:
+    def add_request(
+        self,
+        prompt: list[int],
+        max_tokens: int | None = None,
+        sampling: SamplingParams | None = None,
+        seed: int | None = None,
+    ) -> int:
         """Enqueue one prompt on the active stream; returns its request id.
-        The request's sp.n sequences are queued as a gang (shared prefix pages).
+        The request's n sequences are queued as a gang (shared prefix pages).
         Callable at any point in the stream — new arrivals are admitted into
         slots as they free up.
 
         ``max_tokens`` optionally caps THIS request below the stream's
         ``sp.max_tokens`` (the serving endpoint's per-request budget — the
-        compiled program is shared, the budget rides the control array)."""
+        compiled program is shared, the budget rides the control array).
+
+        ``sampling`` overrides the stream's SamplingParams for THIS request
+        (vLLM's per-request params): temperature/top_p/top_k/penalties/n ride
+        the control array as per-slot columns, so mixed greedy-and-sampled
+        traffic shares the one compiled program. Each override field must be
+        covered by the stream's compiled ``features`` (begin_stream) or the
+        request is rejected here. ``sampling.stop_token_ids`` is ignored —
+        stop tokens are stream-level (compiled constants). If ``max_tokens``
+        is not given, ``sampling.max_tokens`` (when it differs from the
+        stream's) is used as the per-request budget.
+
+        ``seed`` makes THIS request's sampling reproducible: outputs are a
+        pure function of (stream key, seed, position) — same seed, same
+        prompt, same stream key => same tokens, independent of batch
+        composition, admission order, or preemption. Unseeded requests draw
+        from their request id (deterministic within a stream, fresh across
+        re-submissions)."""
         st = self._require_stream()
         sp = st.sp
+        esp = sampling if sampling is not None else sp
+        if sampling is not None:
+            missing = _derive_features(sampling) - st.features
+            if missing:
+                raise ValueError(
+                    f"Per-request sampling needs features {sorted(missing)} not compiled "
+                    f"into this stream (features={sorted(st.features)}); pass them to "
+                    f"begin_stream(features=...) up front"
+                )
+            if not 1 <= sampling.n <= self.n_slots:
+                raise ValueError(f"sampling.n ({sampling.n}) must be in [1, n_slots = {self.n_slots}]")
+            if self.speculate_k > 0 and (sampling.temperature != 0.0 or sampling.uses_penalties or sampling.n != 1):
+                raise ValueError("speculate_k > 0 streams are greedy-only; per-request sampling unavailable")
+            if max_tokens is None and sampling.max_tokens != sp.max_tokens:
+                max_tokens = sampling.max_tokens
         if max_tokens is not None and not 1 <= max_tokens <= sp.max_tokens:
             raise ValueError(
                 f"Per-request max_tokens ({max_tokens}) must be in [1, stream "
@@ -834,13 +1023,20 @@ class PagedDecodeEngine:
             )
         idx = st.next_idx
         st.next_idx += 1
+        # per-sequence PRNG seed: mix (request seed | request id) with the
+        # sequence index so n>1 siblings draw independent samples
+        base_seed = seed if seed is not None else (42831 + idx)
         # the queue holds GROUPS: the n sequences of a prompt admit together so
         # they can share prefix pages; preempted/split members re-queue solo
         st.queue.append([
-            _Request(idx=idx, prompt=list(prompt), seq=j, max_tokens=max_tokens)
-            for j in range(sp.n)
+            _Request(
+                idx=idx, prompt=list(prompt), seq=j, max_tokens=max_tokens,
+                sampling=sampling,
+                rng_seed=(base_seed * 1000003 + j * 7919) & 0x7FFFFFFF,
+            )
+            for j in range(esp.n)
         ])
-        st.expected[idx] = sp.n
+        st.expected[idx] = esp.n
         st.stats["prompt_tokens"] += len(prompt)
         return idx
 
@@ -883,16 +1079,33 @@ class PagedDecodeEngine:
     # --- per-stream scheduler mechanics ---------------------------------------------
 
     def _admit_slot(
-        self, slot_id: int, req: _Request, shared_prefix: list[int] | None = None
+        self,
+        slot_id: int,
+        req: _Request,
+        shared_prefix: list[int] | None = None,
+        solo: bool = True,
     ) -> tuple[int, int] | None:
         """Claim pages + host slot state; returns (slot_id, bucket) for the
         batched prefill pass, or None when the pool is tight. Pure host
         bookkeeping: the admission override rides the next dispatched
-        chunk's control array (no device ops here)."""
+        chunk's control array (no device ops here). ``solo`` is False for a
+        gang leader (n>1): its prefill must not chunk, because the sibling
+        boundary-page fork needs the final prefix content at admission."""
         st = self._st
         p = len(req.prompt)
         p_bucket = _round_up(p, self.prompt_bucket)
         slot = self._slots[slot_id]
+        # per-slot sampling columns: host-owned and re-sent with every control
+        # array, so setting them here covers both the immediate-admit and the
+        # chunked-prefill (deferred admit) paths
+        esp = req.sampling if req.sampling is not None else st.sp
+        st.slot_temp[slot_id] = esp.temperature
+        st.slot_top_p[slot_id] = esp.top_p
+        st.slot_top_k[slot_id] = esp.top_k
+        st.slot_pres[slot_id] = esp.presence_penalty
+        st.slot_freq[slot_id] = esp.frequency_penalty
+        st.slot_rep[slot_id] = esp.repetition_penalty
+        st.slot_seed[slot_id] = req.rng_seed
         hashes: list[bytes] = []
         if shared_prefix:
             # n>1 sibling: reference the leader's read-only prompt pages,
@@ -934,7 +1147,7 @@ class PagedDecodeEngine:
         chunked = (
             self.prefill_chunk is not None
             and shared_prefix is None
-            and st.sp.n == 1
+            and solo
             and (p - 1) - slot.cached_len > self.prefill_chunk
         )
         if hashes and not chunked:
@@ -983,7 +1196,7 @@ class PagedDecodeEngine:
         boundary copies) or None (pool tight — everything rolled back)."""
         st = self._st
         leader, siblings = group[0], group[1:]
-        claim = self._admit_slot(slot_ids[0], leader)
+        claim = self._admit_slot(slot_ids[0], leader, solo=len(group) == 1)
         if claim is None:
             return None
         admitted_ids = [slot_ids[0]]
@@ -1491,7 +1704,12 @@ class PagedDecodeEngine:
             [
                 np.stack(
                     [st.active.astype(np.int32), st.admit, st.admit_seq,
-                     st.admit_tok, st.admit_budget, st.prompt_lens],
+                     st.admit_tok, st.admit_budget, st.prompt_lens,
+                     # per-slot sampling params (f32 columns bitcast to i32)
+                     st.slot_temp.view(np.int32), st.slot_top_p.view(np.int32),
+                     st.slot_top_k, st.slot_pres.view(np.int32),
+                     st.slot_freq.view(np.int32), st.slot_rep.view(np.int32),
+                     st.slot_seed],
                     axis=1,
                 ),
                 self._page_table,

@@ -8,22 +8,28 @@ submit requests through a queue and block on per-request events.
 
 Endpoints (stdlib ``http.server`` — no third-party web stack):
 
-- ``POST /v1/completions`` — body ``{"prompt": str | [int], "max_tokens"?}``.
-  String prompts require a tokenizer; token-id prompts always work. Returns an
-  OpenAI-shaped text_completion with ``token_ids`` in every choice (and
-  ``text`` when a tokenizer is present).
+- ``POST /v1/completions`` — body ``{"prompt": str | [int], "max_tokens"?,
+  "temperature"?, "top_p"?, "top_k"?, "seed"?, "n"?, "presence_penalty"?,
+  "frequency_penalty"?, "repetition_penalty"?, "stream"?}``. String prompts
+  require a tokenizer; token-id prompts always work. Returns an OpenAI-shaped
+  text_completion with ``token_ids`` in every choice (and ``text`` when a
+  tokenizer is present).
 - ``GET /health`` — liveness.
 - ``GET /v1/models`` — the served model id.
 - ``GET /metrics`` — scheduler counters (prefix-cache hits, preemptions,
   chunk dispatches, ...) plus page-pool gauges.
 
-One stream = one compiled program = one set of sampling params; requests may
-only lower ``max_tokens`` per call (it rides the control array). vLLM makes
-the same program-per-config trade per engine instance.
+One stream = ONE compiled program; per-request sampling params ride the
+engine's control array as per-slot columns, so mixed greedy/sampled traffic
+shares that program. Which sampling BRANCHES the program carries is fixed at
+startup (``features`` — default sample+topk+topp; add "pen" to serve the
+penalty params); a request needing an absent branch gets a clean 400 instead
+of a minutes-long mid-serve recompile.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import logging
 import queue
@@ -37,11 +43,18 @@ from ssi_tpu.generate.engine import SamplingParams
 
 LOGGER = logging.getLogger(__name__)
 
+# sampling branches compiled into the serving stream by default: temperature/
+# top_p/top_k/seed per request. "pen" is opt-in — its [slots, vocab] count
+# arrays add a large host->device transfer to every dispatch.
+DEFAULT_FEATURES = frozenset({"sample", "topk", "topp"})
+
 
 @dataclass
 class _Pending:
     prompt: list[int]
     max_tokens: int | None
+    sampling: SamplingParams | None = None
+    seed: int | None = None
     event: threading.Event = field(default_factory=threading.Event)
     outputs: list[dict] | None = None
     error: str | None = None
@@ -68,12 +81,14 @@ class Server:
         tokenizer: Any = None,
         model_id: str = "ssi-tpu",
         idle_poll_s: float = 0.02,
+        features: Any = DEFAULT_FEATURES,
     ):
         self.engine = engine
         self.sp = sp
         self.tokenizer = tokenizer
         self.model_id = model_id
         self.idle_poll_s = idle_poll_s
+        self.features = frozenset(features) if features is not None else frozenset()
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -84,14 +99,17 @@ class Server:
 
     def _loop(self) -> None:
         eng = self.engine
-        eng.begin_stream(self.sp)
+        eng.begin_stream(self.sp, features=self.features)
         self._started.set()
         by_id: dict[int, _Pending] = {}
         restarts = 0
 
         def admit(item: _Pending) -> bool:
             try:
-                rid = eng.add_request(item.prompt, max_tokens=item.max_tokens)
+                rid = eng.add_request(
+                    item.prompt, max_tokens=item.max_tokens,
+                    sampling=item.sampling, seed=item.seed,
+                )
             except Exception as e:  # validation errors -> the waiting handler
                 item.error = str(e)
                 if item.stream:
@@ -134,7 +152,7 @@ class Server:
                     by_id.clear()
                     if restarts > 16:
                         raise  # persistent failure: stop serving rather than loop
-                    eng.begin_stream(self.sp)
+                    eng.begin_stream(self.sp, features=self.features)
                     continue
                 for rec in records:
                     pend = by_id.pop(rec["request_id"], None)
@@ -182,18 +200,32 @@ class Server:
 
     # --- request API ----------------------------------------------------------------
 
-    def submit(self, prompt: list[int], max_tokens: int | None, timeout_s: float = 600) -> _Pending:
-        pend = _Pending(prompt=prompt, max_tokens=max_tokens)
+    def submit(
+        self,
+        prompt: list[int],
+        max_tokens: int | None,
+        timeout_s: float = 600,
+        sampling: SamplingParams | None = None,
+        seed: int | None = None,
+    ) -> _Pending:
+        pend = _Pending(prompt=prompt, max_tokens=max_tokens, sampling=sampling, seed=seed)
         self._q.put(pend)
         if not pend.event.wait(timeout=timeout_s):
             pend.error = "timed out"
         self._n_requests += 1
         return pend
 
-    def submit_stream(self, prompt: list[int], max_tokens: int | None) -> _Pending:
+    def submit_stream(
+        self,
+        prompt: list[int],
+        max_tokens: int | None,
+        sampling: SamplingParams | None = None,
+        seed: int | None = None,
+    ) -> _Pending:
         """Enqueue a streamed request and return immediately; the caller
         drains ``pend.deltas`` (token-id lists, then a None sentinel)."""
-        pend = _Pending(prompt=prompt, max_tokens=max_tokens, stream=True)
+        pend = _Pending(prompt=prompt, max_tokens=max_tokens, stream=True,
+                        sampling=sampling, seed=seed)
         self._q.put(pend)
         self._n_requests += 1
         return pend
@@ -234,10 +266,13 @@ def _make_handler(server: Server):
             else:
                 self._json(404, {"error": {"message": f"unknown path {self.path}"}})
 
-        def _stream_completion(self, tokens: list[int], mt: int | None) -> None:
+        def _stream_completion(
+            self, tokens: list[int], mt: int | None,
+            sampling: SamplingParams | None, seed: int | None,
+        ) -> None:
             """Server-sent events: one `data:` line per harvested token delta,
             a final record with finish_reason, then `data: [DONE]`."""
-            pend = server.submit_stream(tokens, mt)
+            pend = server.submit_stream(tokens, mt, sampling=sampling, seed=seed)
             cid = f"cmpl-{int(time.time() * 1e3)}"
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
@@ -292,17 +327,31 @@ def _make_handler(server: Server):
                 mt = req.get("max_tokens")
                 mt = int(mt) if mt is not None else None
                 stream = bool(req.get("stream", False))
-                if stream and server.sp.n != 1:
+                # per-request sampling params (OpenAI surface); only build an
+                # override when the request actually sets one, so default
+                # traffic stays on the stream's params
+                overrides: dict[str, Any] = {}
+                for name, cast in (
+                    ("temperature", float), ("top_p", float), ("top_k", int),
+                    ("n", int), ("presence_penalty", float),
+                    ("frequency_penalty", float), ("repetition_penalty", float),
+                ):
+                    if req.get(name) is not None:
+                        overrides[name] = cast(req[name])
+                sampling = dataclasses.replace(server.sp, **overrides) if overrides else None
+                seed = int(req["seed"]) if req.get("seed") is not None else None
+                n = overrides.get("n", server.sp.n)
+                if stream and n != 1:
                     raise ValueError("stream=true requires sampling n == 1")
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": {"message": str(e), "type": "invalid_request_error"}})
                 return
 
             if stream:
-                self._stream_completion(tokens, mt)
+                self._stream_completion(tokens, mt, sampling, seed)
                 return
 
-            pend = server.submit(tokens, mt)
+            pend = server.submit(tokens, mt, sampling=sampling, seed=seed)
             if pend.error is not None:
                 self._json(400, {"error": {"message": pend.error, "type": "invalid_request_error"}})
                 return
@@ -389,5 +438,7 @@ def run_server(cfg: Any) -> None:
         mesh=_serving_mesh(int(cfg.get("tensor_parallel", 1) or 1)),
         prefill_chunk=cfg.get("prefill_chunk"),
     )
-    server = Server(engine, sp, tokenizer=tokenizer, model_id=str(cfg.model))
+    feat_cfg = cfg.server.get("sampling_features", "sample,topk,topp")
+    features = frozenset(f.strip() for f in str(feat_cfg or "").split(",") if f.strip())
+    server = Server(engine, sp, tokenizer=tokenizer, model_id=str(cfg.model), features=features)
     serve_forever(server, host=str(cfg.server.host), port=int(cfg.server.port))

@@ -310,7 +310,7 @@ def test_exception_mid_run_releases_pool(setup):
 
     orig = engine._chunk_fn
 
-    def failing_chunk_fn(sp_arg):
+    def failing_chunk_fn(sp_arg, feats=frozenset()):
         def boom(*a, **k):
             raise RuntimeError("injected dispatch failure")
         return boom
@@ -946,6 +946,14 @@ def test_scheduler_fuzz_feature_compositions(setup, seed):
         prefill_chunk=8 if chunked else None,
     )
     sp = SamplingParams(temperature=0.0, max_tokens=max_tokens, stop_token_ids=())
+    # per-request sampling variants that are argmax-equivalent by construction
+    # (top_k=1 / top_p->0 truncate to the greedy token), so they fuzz the
+    # sampled branch against the same naive oracle
+    variants = [
+        None,
+        SamplingParams(temperature=0.9, top_k=1, max_tokens=max_tokens),
+        SamplingParams(temperature=1.4, top_p=1e-9, max_tokens=max_tokens),
+    ]
     naive_cache: dict[tuple, list[int]] = {}
     for _stream in range(3):
         prompts = []
@@ -954,11 +962,217 @@ def test_scheduler_fuzz_feature_compositions(setup, seed):
             cut = int(rng.integers(1, len(stem) + 1))
             ext = rng.integers(1, cfg.vocab_size - 1, int(rng.integers(0, 9))).tolist()
             prompts.append(stem[:cut] + ext)
-        outs = eng.generate_batch(prompts, sp)
+        reqs = [
+            {"prompt": p, "sampling": variants[int(rng.integers(0, len(variants)))]}
+            for p in prompts
+        ]
+        outs = run_stream(eng, sp, reqs, features={"sample", "topk", "topp"})
         for prompt, out in zip(prompts, outs):
             key = tuple(prompt)
             if key not in naive_cache:
                 naive_cache[key] = naive_greedy(params, cfg, prompt, max_tokens)
-            assert out["token_ids"] == naive_cache[key], (seed, _stream, len(prompt))
+            assert out[0]["token_ids"] == naive_cache[key], (seed, _stream, len(prompt))
         assert len(eng._free_pages) + len(eng._cache_lru) == eng.n_pages
         assert set(eng._page_hash) == set(eng._prefix_map.values())
+
+
+# --- per-request sampling params (vLLM's per-request SamplingParams surface) ---------
+
+
+def run_stream(engine, sp, reqs, features=None, key=None):
+    """Drive one stream: reqs is a list of add_request kwargs dicts; returns
+    each request's outputs list, in submission order."""
+    engine.begin_stream(sp, key=key, features=features)
+    ids = [engine.add_request(**r) for r in reqs]
+    got = {}
+    try:
+        while not engine.stream_idle:
+            for rec in engine.step():
+                got[rec["request_id"]] = rec["outputs"]
+    finally:
+        engine.end_stream()
+    return [got[i] for i in ids]
+
+
+def test_per_request_greedy_exact_in_sampling_stream(setup):
+    """A stream compiled with sampling branches serves default (greedy)
+    requests bitwise-greedy: the runtime cond keeps the argmax path exact."""
+    cfg, params = setup
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 9, 13]]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    outs = run_stream(engine, sp, [{"prompt": p} for p in prompts],
+                      features={"sample", "topk", "topp"})
+    for p, out in zip(prompts, outs):
+        assert out[0]["token_ids"] == naive_greedy(params, cfg, p, 6)
+
+
+def test_per_request_topk1_and_tiny_topp_equal_greedy(setup):
+    """temperature>0 with top_k=1 (or top_p→0) truncates the distribution to
+    the argmax token — the sampled stream must equal greedy token-for-token."""
+    cfg, params = setup
+    rng = np.random.default_rng(22)
+    prompt = rng.integers(0, cfg.vocab_size, 8).tolist()
+    want = naive_greedy(params, cfg, prompt, 6)
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    outs = run_stream(
+        engine, sp,
+        [
+            {"prompt": prompt, "sampling": SamplingParams(temperature=0.9, top_k=1, max_tokens=6)},
+            {"prompt": prompt, "sampling": SamplingParams(temperature=1.3, top_p=1e-9, max_tokens=6)},
+        ],
+        features={"sample", "topk", "topp"},
+    )
+    assert outs[0][0]["token_ids"] == want
+    assert outs[1][0]["token_ids"] == want
+
+
+def test_per_request_mixed_traffic_greedy_rows_exact(setup):
+    """Greedy and sampled requests share the batch; the greedy rows' outputs
+    are unaffected by their sampled neighbours."""
+    cfg, params = setup
+    rng = np.random.default_rng(23)
+    g_prompt = rng.integers(0, cfg.vocab_size, 7).tolist()
+    s_prompt = rng.integers(0, cfg.vocab_size, 9).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    outs = run_stream(
+        engine, sp,
+        [
+            {"prompt": g_prompt},
+            {"prompt": s_prompt, "sampling": SamplingParams(temperature=1.0, max_tokens=8)},
+        ],
+        features={"sample"},
+    )
+    assert outs[0][0]["token_ids"] == naive_greedy(params, cfg, g_prompt, 8)
+    assert len(outs[1][0]["token_ids"]) == 8
+
+
+def test_per_request_seed_reproducible_and_scheduling_invariant(setup):
+    """Same (stream key, seed, prompt) => same sampled tokens, whatever else
+    is in the batch (position-keyed PRNG); different seeds diverge."""
+    cfg, params = setup
+    rng = np.random.default_rng(24)
+    prompt = rng.integers(0, cfg.vocab_size, 8).tolist()
+    other = rng.integers(0, cfg.vocab_size, 11).tolist()
+    samp = SamplingParams(temperature=1.0, max_tokens=10)
+    sp = SamplingParams(temperature=0.0, max_tokens=10, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    solo = run_stream(engine, sp, [{"prompt": prompt, "sampling": samp, "seed": 7}],
+                      features={"sample"}, key=jax.random.key(3))
+    crowded = run_stream(
+        engine, sp,
+        [
+            {"prompt": other},
+            {"prompt": prompt, "sampling": samp, "seed": 7},
+            {"prompt": prompt, "sampling": samp, "seed": 8},
+        ],
+        features={"sample"}, key=jax.random.key(3),
+    )
+    assert crowded[1][0]["token_ids"] == solo[0][0]["token_ids"]
+    assert crowded[2][0]["token_ids"] != solo[0][0]["token_ids"]
+
+
+def test_per_request_sampling_survives_preemption(setup):
+    """Preemption + recompute redraws the identical sampled continuation: the
+    PRNG is keyed by (stream key, request seed, position), not by scheduling."""
+    cfg, params = setup
+    rng = np.random.default_rng(25)
+    # 3 slots x (17-token prompt -> 3 pages) fill the 9-page pool exactly;
+    # max_tokens=10 pushes every sequence past the 24-token page boundary, so
+    # each slot needs a 4th page and the scheduler must preempt
+    prompts = [rng.integers(0, cfg.vocab_size, 17).tolist() for _ in range(3)]
+    samp = SamplingParams(temperature=1.0, max_tokens=10)
+    sp = SamplingParams(temperature=0.0, max_tokens=10, stop_token_ids=())
+    reqs = [{"prompt": p, "sampling": samp, "seed": 100 + i} for i, p in enumerate(prompts)]
+    ample = make_engine(params, cfg, n_slots=3, n_pages=64)
+    want = run_stream(ample, sp, reqs, features={"sample"}, key=jax.random.key(9))
+    tight = make_engine(params, cfg, n_slots=3, n_pages=9)  # forces preemption
+    got = run_stream(tight, sp, reqs, features={"sample"}, key=jax.random.key(9))
+    assert tight.last_stats["preemptions"] > 0
+    for w, g in zip(want, got):
+        assert g[0]["token_ids"] == w[0]["token_ids"]
+    assert len(tight._free_pages) + len(tight._cache_lru) == tight.n_pages
+
+
+def test_per_request_penalties_match_stream_level(setup):
+    """Per-request penalty params produce the same (deterministic, greedy)
+    outputs as a stream whose default SamplingParams carries them."""
+    cfg, params = setup
+    rng = np.random.default_rng(26)
+    prompts = [rng.integers(0, cfg.vocab_size, 7).tolist() for _ in range(2)]
+    pen = SamplingParams(temperature=0.0, max_tokens=8, repetition_penalty=1.4,
+                         presence_penalty=0.3, frequency_penalty=0.2)
+    engine = make_engine(params, cfg)
+    stream_level = engine.generate_batch(prompts, pen)
+    plain = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+    per_request = run_stream(engine, plain,
+                             [{"prompt": p, "sampling": pen} for p in prompts],
+                             features={"pen"})
+    for sl, pr in zip(stream_level, per_request):
+        assert pr[0]["token_ids"] == sl["token_ids"]
+        assert pr[0]["cumulative_logprob"] == pytest.approx(sl["cumulative_logprob"], rel=1e-5)
+
+
+def test_per_request_n_gang(setup):
+    """Per-request n queues a gang even when the stream default is n=1; greedy
+    siblings all reproduce the solo output."""
+    cfg, params = setup
+    rng = np.random.default_rng(27)
+    prompt = rng.integers(0, cfg.vocab_size, 9).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=5, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    want = naive_greedy(params, cfg, prompt, 5)
+    outs = run_stream(engine, sp,
+                      [{"prompt": prompt, "sampling": SamplingParams(n=3, max_tokens=5)}])
+    assert len(outs[0]) == 3
+    for o in outs[0]:
+        assert o["token_ids"] == want
+
+
+def test_per_request_n_sampled_siblings_differ(setup):
+    """n>1 with temperature>0: siblings draw from per-sequence seeds."""
+    cfg, params = setup
+    rng = np.random.default_rng(28)
+    prompt = rng.integers(0, cfg.vocab_size, 9).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    outs = run_stream(
+        engine, sp,
+        [{"prompt": prompt, "sampling": SamplingParams(n=4, temperature=1.0, max_tokens=8)}],
+        features={"sample"},
+    )
+    seqs = [tuple(o["token_ids"]) for o in outs[0]]
+    assert len(outs[0]) == 4 and len(set(seqs)) > 1
+
+
+def test_per_request_feature_rejection(setup):
+    """A request needing a branch the stream did not compile fails fast with
+    a clear error instead of recompiling mid-stream."""
+    cfg, params = setup
+    sp = SamplingParams(temperature=0.0, max_tokens=4, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    engine.begin_stream(sp)  # greedy-only program
+    try:
+        with pytest.raises(ValueError, match="features"):
+            engine.add_request([1, 2, 3], sampling=SamplingParams(temperature=0.8, max_tokens=4))
+        with pytest.raises(ValueError, match="Unknown sampling features"):
+            engine.end_stream()
+            engine.begin_stream(sp, features={"bogus"})
+    finally:
+        engine.end_stream()
+
+
+def test_per_request_sampling_max_tokens_budget(setup):
+    """sampling.max_tokens acts as the per-request budget when max_tokens is
+    not passed explicitly."""
+    cfg, params = setup
+    rng = np.random.default_rng(29)
+    prompt = rng.integers(0, cfg.vocab_size, 6).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=10, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    outs = run_stream(engine, sp, [{"prompt": prompt, "sampling": SamplingParams(max_tokens=3)}])
+    assert len(outs[0][0]["token_ids"]) == 3
+    assert outs[0][0]["finish_reason"] == "length"

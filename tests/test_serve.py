@@ -195,3 +195,47 @@ def test_server_survives_engine_error(setup, server):
     code, body = _post(url, "/v1/completions", {"prompt": prompt})
     assert code == 200
     assert body["choices"][0]["token_ids"] == naive_greedy(params, cfg, prompt, 8)
+
+
+def test_per_request_sampling_http(setup, server):
+    """OpenAI per-request sampling fields: top_k=1 sampling equals greedy,
+    seeded sampling is reproducible, n>1 returns n choices."""
+    cfg, params = setup
+    _srv, url = server
+    rng = np.random.default_rng(113)
+    prompt = rng.integers(1, cfg.vocab_size - 1, 9).tolist()
+    want = naive_greedy(params, cfg, prompt, 8)
+
+    code, body = _post(url, "/v1/completions",
+                       {"prompt": prompt, "temperature": 0.9, "top_k": 1})
+    assert code == 200
+    assert body["choices"][0]["token_ids"] == want
+
+    a = _post(url, "/v1/completions", {"prompt": prompt, "temperature": 1.0, "seed": 5})
+    b = _post(url, "/v1/completions", {"prompt": prompt, "temperature": 1.0, "seed": 5})
+    c = _post(url, "/v1/completions", {"prompt": prompt, "temperature": 1.0, "seed": 6})
+    assert a[0] == b[0] == c[0] == 200
+    assert a[1]["choices"][0]["token_ids"] == b[1]["choices"][0]["token_ids"]
+    assert c[1]["choices"][0]["token_ids"] != a[1]["choices"][0]["token_ids"]
+
+    code, body = _post(url, "/v1/completions", {"prompt": prompt, "n": 2})
+    assert code == 200
+    assert len(body["choices"]) == 2
+    for ch in body["choices"]:
+        assert ch["token_ids"] == want
+
+
+def test_per_request_feature_rejected_http(setup, server):
+    """Penalty params need the opt-in "pen" branch; the default server
+    rejects them with a 400 instead of recompiling mid-serve."""
+    cfg, _params = setup
+    _srv, url = server
+    rng = np.random.default_rng(117)
+    prompt = rng.integers(1, cfg.vocab_size - 1, 6).tolist()
+    code, body = _post(url, "/v1/completions",
+                       {"prompt": prompt, "repetition_penalty": 1.3})
+    assert code == 400
+    assert "features" in body["error"]["message"]
+    # the stream survives the rejection
+    code, _body = _post(url, "/v1/completions", {"prompt": prompt})
+    assert code == 200
