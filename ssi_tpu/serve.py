@@ -14,6 +14,12 @@ Endpoints (stdlib ``http.server`` — no third-party web stack):
   require a tokenizer; token-id prompts always work. Returns an OpenAI-shaped
   text_completion with ``token_ids`` in every choice (and ``text`` when a
   tokenizer is present).
+- ``POST /v1/chat/completions`` — body ``{"messages": [{"role", "content"}],
+  ...same sampling fields...}``. Messages render through the Llama-3 chat
+  format (``tokenize_messages`` with an open assistant turn — the same
+  construction the SFT inference path uses); responses are OpenAI
+  ``chat.completion`` objects (``chat.completion.chunk`` deltas under
+  ``stream=true``). Requires a tokenizer.
 - ``GET /health`` — liveness.
 - ``GET /v1/models`` — the served model id.
 - ``GET /metrics`` — scheduler counters (prefix-cache hits, preemptions,
@@ -269,20 +275,26 @@ def _make_handler(server: Server):
         def _stream_completion(
             self, tokens: list[int], mt: int | None,
             sampling: SamplingParams | None, seed: int | None,
+            chat: bool = False,
         ) -> None:
             """Server-sent events: one `data:` line per harvested token delta,
             a final record with finish_reason, then `data: [DONE]`."""
             pend = server.submit_stream(tokens, mt, sampling=sampling, seed=seed)
-            cid = f"cmpl-{int(time.time() * 1e3)}"
+            obj = "chat.completion.chunk" if chat else "text_completion"
+            cid = f"{'chatcmpl' if chat else 'cmpl'}-{int(time.time() * 1e3)}"
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
 
-            def emit(obj: dict) -> None:
-                self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+            def emit(obj_: dict) -> None:
+                self.wfile.write(b"data: " + json.dumps(obj_).encode() + b"\n\n")
                 self.wfile.flush()
 
+            if chat:  # conventional first chunk carrying the role
+                emit({"id": cid, "object": obj, "model": server.model_id,
+                      "choices": [{"index": 0, "delta": {"role": "assistant"},
+                                   "finish_reason": None}]})
             while True:
                 try:
                     delta = pend.deltas.get(timeout=600)
@@ -291,39 +303,52 @@ def _make_handler(server: Server):
                     break
                 if delta is None:
                     break
-                choice = {"index": 0, "token_ids": delta, "finish_reason": None}
-                if server.tokenizer is not None:
-                    choice["text"] = server.tokenizer.decode(delta)
-                emit({"id": cid, "object": "text_completion", "model": server.model_id,
+                if chat:
+                    choice = {"index": 0,
+                              "delta": {"content": server.tokenizer.decode(delta)},
+                              "token_ids": delta, "finish_reason": None}
+                else:
+                    choice = {"index": 0, "token_ids": delta, "finish_reason": None}
+                    if server.tokenizer is not None:
+                        choice["text"] = server.tokenizer.decode(delta)
+                emit({"id": cid, "object": obj, "model": server.model_id,
                       "choices": [choice]})
             if pend.error is not None:
                 emit({"id": cid, "error": {"message": pend.error}})
             else:
                 out = pend.outputs[0]
-                emit({"id": cid, "object": "text_completion", "model": server.model_id,
-                      "choices": [{"index": 0, "token_ids": [],
-                                   "finish_reason": out["finish_reason"]}],
+                final = {"index": 0, "finish_reason": out["finish_reason"]}
+                if chat:
+                    final["delta"] = {}
+                else:
+                    final["token_ids"] = []
+                emit({"id": cid, "object": obj, "model": server.model_id,
+                      "choices": [final],
                       "usage": {"prompt_tokens": len(tokens),
                                 "completion_tokens": len(out["token_ids"])}})
             self.wfile.write(b"data: [DONE]\n\n")
             self.wfile.flush()
 
         def do_POST(self):
-            if self.path != "/v1/completions":
+            chat = self.path == "/v1/chat/completions"
+            if self.path != "/v1/completions" and not chat:
                 self._json(404, {"error": {"message": f"unknown path {self.path}"}})
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                prompt = req.get("prompt")
-                if isinstance(prompt, str):
-                    if server.tokenizer is None:
-                        raise ValueError("string prompts need a tokenizer; pass token ids")
-                    tokens = server.tokenizer.encode(prompt, add_bos=True, add_eos=False)
-                elif isinstance(prompt, list) and all(isinstance(t, int) for t in prompt):
-                    tokens = prompt
+                if chat:
+                    tokens = _chat_prompt_tokens(server.tokenizer, req.get("messages"))
                 else:
-                    raise ValueError("prompt must be a string or a list of token ids")
+                    prompt = req.get("prompt")
+                    if isinstance(prompt, str):
+                        if server.tokenizer is None:
+                            raise ValueError("string prompts need a tokenizer; pass token ids")
+                        tokens = server.tokenizer.encode(prompt, add_bos=True, add_eos=False)
+                    elif isinstance(prompt, list) and all(isinstance(t, int) for t in prompt):
+                        tokens = prompt
+                    else:
+                        raise ValueError("prompt must be a string or a list of token ids")
                 mt = req.get("max_tokens")
                 mt = int(mt) if mt is not None else None
                 stream = bool(req.get("stream", False))
@@ -348,7 +373,7 @@ def _make_handler(server: Server):
                 return
 
             if stream:
-                self._stream_completion(tokens, mt, sampling, seed)
+                self._stream_completion(tokens, mt, sampling, seed, chat=chat)
                 return
 
             pend = server.submit(tokens, mt, sampling=sampling, seed=seed)
@@ -363,12 +388,15 @@ def _make_handler(server: Server):
                     "finish_reason": out["finish_reason"],
                     "cumulative_logprob": out["cumulative_logprob"],
                 }
-                if server.tokenizer is not None:
+                if chat:
+                    choice["message"] = {"role": "assistant",
+                                         "content": server.tokenizer.decode(out["token_ids"])}
+                elif server.tokenizer is not None:
                     choice["text"] = server.tokenizer.decode(out["token_ids"])
                 choices.append(choice)
             self._json(200, {
-                "id": f"cmpl-{int(time.time() * 1e3)}",
-                "object": "text_completion",
+                "id": f"{'chatcmpl' if chat else 'cmpl'}-{int(time.time() * 1e3)}",
+                "object": "chat.completion" if chat else "text_completion",
                 "model": server.model_id,
                 "choices": choices,
                 "usage": {
@@ -378,6 +406,33 @@ def _make_handler(server: Server):
             })
 
     return Handler
+
+
+def _chat_prompt_tokens(tokenizer: Any, messages: Any) -> list[int]:
+    """Render an OpenAI chat ``messages`` list to prompt token ids: Llama-3
+    chat format with an open assistant turn (the SFT inference construction —
+    ref: ssi/data/sft.py:317-326 builds the same empty-assistant tail)."""
+    from ssi_tpu.tokenizer.messages import Message
+
+    if tokenizer is None:
+        raise ValueError("chat completions need a tokenizer")
+    if not isinstance(messages, list) or not messages:
+        raise ValueError("messages must be a non-empty list of {role, content}")
+    msgs = []
+    for m in messages:
+        if not isinstance(m, dict):
+            raise ValueError("each message must be an object with role and content")
+        role, content = m.get("role"), m.get("content")
+        if role not in ("system", "user", "assistant"):
+            raise ValueError(f"unsupported role {role!r} (system/user/assistant)")
+        if not isinstance(content, str):
+            raise ValueError("message content must be a string")
+        msgs.append(Message(role=role, content=content, masked=True))
+    if msgs[-1].role == "assistant":
+        raise ValueError("the last message must be a user (or system) turn")
+    msgs.append(Message(role="assistant", content="", masked=False))
+    tokens, _mask = tokenizer.tokenize_messages(msgs, add_end_tokens=False)
+    return tokens
 
 
 def run_http_server(server: Server, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHTTPServer:

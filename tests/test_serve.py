@@ -239,3 +239,104 @@ def test_per_request_feature_rejected_http(setup, server):
     # the stream survives the rejection
     code, _body = _post(url, "/v1/completions", {"prompt": prompt})
     assert code == 200
+
+
+@pytest.fixture()
+def chat_server(setup, tmp_path):
+    """Server with a real (tiny, DSU-extended) tokenizer for chat endpoints."""
+    from ssi_tpu.extend import extend_tiktoken
+    from ssi_tpu.tokenizer import setup_llama3_tokenizer
+
+    cfg, params = setup
+    tok_path = tmp_path / "tokenizer.model"
+    helpers.write_tiny_tokenizer(tok_path)
+    extend_tiktoken(cfg.n_dsus, cfg.modality_tokens, tok_path, tok_path)
+    tokenizer, _special = setup_llama3_tokenizer(tok_path, verbose=False)
+    engine = make_engine(params, cfg, n_slots=3, max_context=64)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=tuple(tokenizer.stop_tokens))
+    srv = Server(engine, sp, tokenizer=tokenizer, model_id="tiny-chat")
+    srv.start()
+    httpd = run_http_server(srv, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield srv, tokenizer, f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    srv.stop()
+
+
+def test_chat_completions(setup, chat_server):
+    """/v1/chat/completions renders the Llama-3 chat format (SFT inference
+    construction) and returns an OpenAI chat.completion; token_ids equal the
+    naive greedy stream over the rendered prompt."""
+    from ssi_tpu.serve import _chat_prompt_tokens
+
+    cfg, params = setup
+    _srv, tokenizer, url = chat_server
+    messages = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hi"},
+    ]
+    code, body = _post(url, "/v1/chat/completions", {"messages": messages})
+    assert code == 200
+    assert body["object"] == "chat.completion"
+    choice = body["choices"][0]
+    assert choice["message"]["role"] == "assistant"
+    assert isinstance(choice["message"]["content"], str)
+    rendered = _chat_prompt_tokens(tokenizer, messages)
+    want = naive_greedy(params, cfg, rendered, 8)
+    stops = set(tokenizer.stop_tokens)
+    if any(t in stops for t in want):  # engine stops at the first stop token
+        k = next(i for i, t in enumerate(want) if t in stops)
+        want = want[: k + 1]
+    assert choice["token_ids"] == want
+    assert body["usage"]["prompt_tokens"] == len(rendered)
+
+
+def test_chat_completions_stream(chat_server):
+    """stream=true emits chat.completion.chunk deltas: role first, content
+    deltas, a finish_reason chunk with usage, then [DONE]."""
+    import urllib.request as _ur
+
+    _srv, _tokenizer, url = chat_server
+    req = _ur.Request(
+        url + "/v1/chat/completions",
+        data=json.dumps({"messages": [{"role": "user", "content": "go"}],
+                         "stream": True, "max_tokens": 4}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events = []
+    with _ur.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            events.append(json.loads(payload))
+    assert events[0]["object"] == "chat.completion.chunk"
+    assert events[0]["choices"][0]["delta"] == {"role": "assistant"}
+    final = events[-1]
+    assert final["choices"][0]["finish_reason"] in ("stop", "length")
+    assert final["usage"]["completion_tokens"] >= 1
+    got = [t for e in events[1:-1] for t in e["choices"][0]["token_ids"]]
+    assert len(got) == final["usage"]["completion_tokens"]
+
+
+def test_chat_completions_validation(server, chat_server):
+    """Bad chat requests 400 cleanly: no tokenizer, empty messages, assistant
+    last, unknown role."""
+    _srv, url = server  # tokenizer-less server
+    code, body = _post(url, "/v1/chat/completions",
+                       {"messages": [{"role": "user", "content": "x"}]})
+    assert code == 400 and "tokenizer" in body["error"]["message"]
+    _srv2, _tok, churl = chat_server
+    for bad in (
+        {"messages": []},
+        {"messages": [{"role": "assistant", "content": "x"}]},
+        {"messages": [{"role": "tool", "content": "x"}]},
+        {"messages": [{"role": "user", "content": 3}]},
+    ):
+        code, body = _post(churl, "/v1/chat/completions", bad)
+        assert code == 400, bad
