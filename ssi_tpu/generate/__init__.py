@@ -195,7 +195,7 @@ def run_generation(cfg: Any) -> Path:
                             "text": tokenizer.decode(list(out["token_ids"]), **decoding),
                             "token_ids": list(map(int, out["token_ids"])),
                             "cumulative_logprob": out.get("cumulative_logprob"),
-                            "logprobs": None,
+                            "logprobs": out.get("logprobs"),
                             "finish_reason": out["finish_reason"],
                             "stop_reason": int(out["stop_reason"]) if out["stop_reason"] is not None else None,
                             "stop_reason_text": special_int2str.get(out["stop_reason"])

@@ -143,6 +143,7 @@ class _Request:
     prompt: list[int]
     seq: int = 0                  # sequence index within the prompt (n>1 sampling)
     out: list[int] = field(default_factory=list)
+    lps: list[float] = field(default_factory=list)  # per-token logprobs (empty in spec mode)
     clp: float = 0.0
     done_reason: str | None = None
     max_tokens: int | None = None  # per-request budget (<= stream sp.max_tokens)
@@ -543,20 +544,23 @@ class PagedDecodeEngine:
                 emitted = jnp.where(advance, next_tok, pad_id)
                 done = jnp.logical_or(done, newly_done)
                 next_tok = jnp.where(advance, next_tok, tok)
-                return (pools, seq_lens, next_tok, done, budget, out_counts, key, clp), emitted
+                lp_step = jnp.where(advance, lp, 0.0)
+                return (pools, seq_lens, next_tok, done, budget, out_counts, key, clp), (emitted, lp_step)
 
             clp0 = jnp.zeros(tok.shape, jnp.float32)
-            (pools, seq_lens, tok, done, budget, out_counts, key, clp), emitted = jax.lax.scan(
+            (pools, seq_lens, tok, done, budget, out_counts, key, clp), (emitted, lps) = jax.lax.scan(
                 step, (pools, seq_lens, tok, done, budget, out_counts, key, clp0), None,
                 length=self.chunk,
             )
-            # Harvest view packed into ONE int32 array [slots, chunk+3]: the
-            # per-harvest device_get is a single transfer (4 separate fetches
-            # cost 4 round trips through the axon tunnel): columns are
-            # [emitted tokens | done flag | seq_len | clp bitcast to int32].
+            # Harvest view packed into ONE int32 array [slots, 2*chunk+3]: the
+            # per-harvest device_get is a single transfer (separate fetches
+            # cost round trips through the axon tunnel): columns are
+            # [emitted tokens | per-token logprobs bitcast | done flag |
+            #  seq_len | clp bitcast to int32].
             packed = jnp.concatenate(
                 [
                     emitted.T,
+                    jax.lax.bitcast_convert_type(lps.T, jnp.int32),
                     done.astype(jnp.int32)[:, None],
                     seq_lens[:, None],
                     jax.lax.bitcast_convert_type(clp, jnp.int32)[:, None],
@@ -823,6 +827,7 @@ class PagedDecodeEngine:
             f"{slot.n_out} tokens generated) for recompute-style retry"
         )
         slot.req.out = []
+        slot.req.lps = []
         slot.req.clp = 0.0
         queue.insert(0, [slot.req])
         self._free_slot(slot)
@@ -1498,6 +1503,9 @@ class PagedDecodeEngine:
             "finish_reason": "stop" if stopped else "length",
             "stop_reason": token_ids[-1] if stopped else None,
             "cumulative_logprob": req.clp,
+            # per-token logprobs of the emitted tokens (vLLM's logprobs role;
+            # plain floats, not the token->Logprob dicts). None in spec mode.
+            "logprobs": req.lps[: len(token_ids)] if req.lps else None,
         }
         self._free_slot(slot)
         st.active[slot_id] = False
@@ -1510,14 +1518,19 @@ class PagedDecodeEngine:
         t0 = time.perf_counter()
         packed = np.asarray(jax.device_get(p["packed"]))
         st.stats["harvest_block_s"] += time.perf_counter() - t0
-        tail = 4 if self.speculate_k > 0 else 3  # spec adds a verify-steps column
-        chunk = packed.shape[1] - tail
+        if self.speculate_k > 0:  # [tokens | done | seq_len | clp | verify-steps]
+            chunk = packed.shape[1] - 4
+            lps_h = None
+            tail = packed[:, chunk:]
+            st.stats["verify_steps"] += int(tail[:, 3].sum())
+        else:  # [tokens | per-token logprobs (bitcast) | done | seq_len | clp]
+            chunk = (packed.shape[1] - 3) // 2
+            lps_h = packed[:, chunk : 2 * chunk].view(np.float32)
+            tail = packed[:, 2 * chunk :]
         emitted_h = packed[:, :chunk]
-        done_h = packed[:, chunk] != 0
-        lens_h = packed[:, chunk + 1]
-        clp_h = packed[:, chunk + 2].view(np.float32)
-        if self.speculate_k > 0:
-            st.stats["verify_steps"] += int(packed[:, chunk + 3].sum())
+        done_h = tail[:, 0] != 0
+        lens_h = tail[:, 1]
+        clp_h = tail[:, 2].view(np.float32)
         for slot_id, req_snapshot in p["in_chunk"]:
             s = self._slots[slot_id]
             if s.req is not req_snapshot or s.done:
@@ -1526,6 +1539,8 @@ class PagedDecodeEngine:
             s.seq_len = int(lens_h[slot_id])
             if n_new > 0:
                 s.req.out.extend(int(t) for t in emitted_h[slot_id, :n_new])
+                if lps_h is not None:
+                    s.req.lps.extend(float(x) for x in lps_h[slot_id, :n_new])
                 s.req.clp += float(clp_h[slot_id])
                 s.n_out += n_new
                 st.stats["tokens_out"] += n_new

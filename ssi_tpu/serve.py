@@ -388,6 +388,8 @@ def _make_handler(server: Server):
                     "finish_reason": out["finish_reason"],
                     "cumulative_logprob": out["cumulative_logprob"],
                 }
+                if req.get("logprobs"):
+                    choice["logprobs"] = out.get("logprobs")
                 if chat:
                     choice["message"] = {"role": "assistant",
                                          "content": server.tokenizer.decode(out["token_ids"])}

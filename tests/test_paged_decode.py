@@ -370,6 +370,26 @@ def test_last_stats_contract(setup):
     assert s["wall_s"] >= s["harvest_block_s"] >= 0.0
 
 
+def test_per_token_logprobs(setup):
+    """Each output carries per-token logprobs (vLLM's logprobs role, ref:
+    scripts/generate.py output fields): one float per emitted token, summing
+    to the cumulative logprob; spec mode returns None (not computed there)."""
+    cfg, params = setup
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 11, 3]]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    outs = engine.generate_batch(prompts, sp)
+    for out in outs:
+        assert out["logprobs"] is not None
+        assert len(out["logprobs"]) == len(out["token_ids"])
+        assert sum(out["logprobs"]) == pytest.approx(out["cumulative_logprob"], abs=1e-4)
+        assert all(lp <= 0.0 for lp in out["logprobs"])
+    spec = make_engine(params, cfg, speculate_k=2)
+    for out in spec.generate_batch(prompts, sp):
+        assert out["logprobs"] is None
+
+
 def test_n_parallel_sampling_greedy_shares_pages(setup):
     """n>1: each prompt yields n sequences (prompt-major order); with greedy
     sampling all siblings equal the n=1 output bitwise — proving the shared
