@@ -1045,6 +1045,60 @@ class PagedDecodeEngine:
         st.stats["prompt_tokens"] += len(prompt)
         return idx
 
+    def cancel_request(
+        self,
+        request_id: int,
+        *,
+        keep_tokens: int | None = None,
+        finish_reason: str = "abort",
+    ) -> bool:
+        """Host-side early termination of one request (vLLM's ``abort_request``
+        role): every sequence of ``request_id`` — queued or running — is
+        finalized immediately with ``finish_reason``, its slots/pages freed.
+        ``keep_tokens`` truncates each sequence's output (the serving layer's
+        stop-string cut). The completed record surfaces from the next
+        ``step()`` like any other finish. Returns False if no live sequence
+        matched (already completed or unknown id).
+
+        Freeing mid-flight is safe without draining the pipeline: dispatched
+        chunks run in program order, so any write a stale chunk makes to a
+        freed page lands BEFORE the page's next occupant writes it, and a
+        reader only ever reads positions it wrote itself later. Harvests of
+        stale chunks are identity-checked (``s.req is not req_snapshot``) or
+        gated on ``s.done``, so no tokens are double-counted."""
+        st = self._require_stream()
+        found = False
+        # queued, not-yet-admitted sequences: finalize with what they have (an
+        # un-admitted sequence has no output; a preempted re-queued one is
+        # recompute-pending, i.e. also empty)
+        kept_groups: list[list[_Request]] = []
+        for group in st.queue:
+            keep = [r for r in group if r.idx != request_id]
+            for r in group:
+                if r.idx == request_id:
+                    found = True
+                    st.results[r.idx, r.seq] = {
+                        "token_ids": [], "finish_reason": finish_reason,
+                        "stop_reason": None, "cumulative_logprob": 0.0,
+                        "logprobs": None,
+                    }
+                    st.collected[r.idx] = st.collected.get(r.idx, 0) + 1
+                    if st.collected[r.idx] == st.expected[r.idx]:
+                        st.completed.append(r.idx)
+            if keep:
+                kept_groups.append(keep)
+        st.queue[:] = kept_groups
+        # running slots: stop future advancement, skip in-flight harvests
+        # (s.done), and collect with the truncation/reason overrides
+        for sid, s in enumerate(self._slots):
+            if s.req is not None and s.req.idx == request_id and not s.done:
+                found = True
+                st.active[sid] = False
+                st.admit[sid] = 0
+                s.done = True
+                self._collect(sid, keep_tokens=keep_tokens, finish_reason=finish_reason)
+        return found
+
     @property
     def stream_idle(self) -> bool:
         """True when the active stream has no queued or running requests."""
@@ -1491,18 +1545,24 @@ class PagedDecodeEngine:
                     st.hist, jnp.asarray(tokens), jnp.asarray(slot_ids)
                 )
 
-    def _collect(self, slot_id: int) -> None:
+    def _collect(
+        self, slot_id: int, *, keep_tokens: int | None = None, finish_reason: str | None = None
+    ) -> None:
         st = self._st
         sp = st.sp
         slot = self._slots[slot_id]
         req = slot.req
         token_ids = req.out[: req.max_tokens if req.max_tokens is not None else sp.max_tokens]
-        stopped = bool(token_ids) and token_ids[-1] in st.stop_set
+        if keep_tokens is not None:  # cancel_request's stop-string cut
+            token_ids = token_ids[:keep_tokens]
+        stopped = bool(token_ids) and token_ids[-1] in st.stop_set and finish_reason is None
         st.results[req.idx, req.seq] = {
             "token_ids": token_ids,
-            "finish_reason": "stop" if stopped else "length",
+            "finish_reason": finish_reason if finish_reason is not None
+            else ("stop" if stopped else "length"),
             "stop_reason": token_ids[-1] if stopped else None,
-            "cumulative_logprob": req.clp,
+            "cumulative_logprob": req.clp if keep_tokens is None
+            else float(sum(req.lps[: len(token_ids)])) if req.lps else req.clp,
             # per-token logprobs of the emitted tokens (vLLM's logprobs role;
             # plain floats, not the token->Logprob dicts). None in spec mode.
             "logprobs": req.lps[: len(token_ids)] if req.lps else None,

@@ -10,10 +10,14 @@ Endpoints (stdlib ``http.server`` — no third-party web stack):
 
 - ``POST /v1/completions`` — body ``{"prompt": str | [int], "max_tokens"?,
   "temperature"?, "top_p"?, "top_k"?, "seed"?, "n"?, "presence_penalty"?,
-  "frequency_penalty"?, "repetition_penalty"?, "stream"?}``. String prompts
-  require a tokenizer; token-id prompts always work. Returns an OpenAI-shaped
-  text_completion with ``token_ids`` in every choice (and ``text`` when a
-  tokenizer is present).
+  "frequency_penalty"?, "repetition_penalty"?, "stop"?, "logprobs"?,
+  "stream"?}``. String prompts require a tokenizer; token-id prompts always
+  work. Returns an OpenAI-shaped text_completion with ``token_ids`` in every
+  choice (and ``text`` when a tokenizer is present). ``stop`` (string or list)
+  ends generation at the first match, excluded from the returned text — the
+  scheduler scans decoded output each pass and host-cancels via
+  ``engine.cancel_request``; a mid-stream client disconnect aborts the same
+  way, so a dead socket never holds a slot.
 - ``POST /v1/chat/completions`` — body ``{"messages": [{"role", "content"}],
   ...same sampling fields...}``. Messages render through the Llama-3 chat
   format (``tokenize_messages`` with an open assistant turn — the same
@@ -64,6 +68,12 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     outputs: list[dict] | None = None
     error: str | None = None
+    # OpenAI `stop` strings: the scheduler scans decoded output each pass and
+    # host-cancels the request at the first match (engine.cancel_request)
+    stop: tuple = ()
+    stop_text: str | None = None   # decoded output truncated AT the stop match
+    rid: int | None = None         # engine request id (set at admission)
+    aborted: bool = False          # client disconnected; cancel instead of admit
     # streaming: the scheduler pushes newly-harvested token-id deltas here and
     # a final None sentinel; `sent` tracks how many tokens have been pushed.
     # Under greedy decoding deltas are exact even across preemption (the
@@ -96,6 +106,7 @@ class Server:
         self.idle_poll_s = idle_poll_s
         self.features = frozenset(features) if features is not None else frozenset()
         self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._cancels: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
@@ -111,6 +122,10 @@ class Server:
         restarts = 0
 
         def admit(item: _Pending) -> bool:
+            if item.aborted:  # client vanished while queued
+                item.error = "client disconnected"
+                item.event.set()
+                return False
             try:
                 rid = eng.add_request(
                     item.prompt, max_tokens=item.max_tokens,
@@ -122,8 +137,52 @@ class Server:
                     item.deltas.put(None)
                 item.event.set()
                 return False
+            item.rid = rid
             by_id[rid] = item
             return True
+
+        def stop_cut(pend: _Pending, out: list[int]) -> int | None:
+            """Shortest token prefix of ``out`` whose decoded text contains a
+            stop string (None if no match); sets ``pend.stop_text`` to the text
+            truncated AT the match (OpenAI semantics: the stop sequence itself
+            is excluded from the returned text)."""
+            text = self.tokenizer.decode(out)
+            if not any(s in text for s in pend.stop):
+                return None
+            lo, hi = 1, len(out)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if any(s in self.tokenizer.decode(out[:mid]) for s in pend.stop):
+                    hi = mid
+                else:
+                    lo = mid + 1
+            ktext = self.tokenizer.decode(out[:lo])
+            pend.stop_text = ktext[: min(ktext.index(s) for s in pend.stop if s in ktext)]
+            return lo
+
+        def scan_stops(pend: _Pending, req: Any) -> None:
+            """Mid-run stop-string check: host-cancel at the first match so the
+            slot frees immediately instead of decoding to the budget."""
+            k = stop_cut(pend, req.out)
+            if k is not None:
+                eng.cancel_request(pend.rid, keep_tokens=k, finish_reason="stop")
+
+        def finalize_stops(pend: _Pending) -> None:
+            """Completion-time stop cut: a match can arrive in the same harvest
+            that finishes the request (budget/stop-token), after the last
+            mid-run scan — truncate the finished record in place."""
+            out = pend.outputs[0]
+            if pend.stop_text is not None or not out["token_ids"]:
+                return  # already cut by the mid-run cancel (or empty)
+            k = stop_cut(pend, out["token_ids"])
+            if k is None:
+                return
+            out["token_ids"] = out["token_ids"][:k]
+            out["finish_reason"] = "stop"
+            out["stop_reason"] = None
+            if out.get("logprobs"):
+                out["logprobs"] = out["logprobs"][:k]
+                out["cumulative_logprob"] = float(sum(out["logprobs"]))
 
         try:
             while not self._stop.is_set() or by_id or not self._q.empty():
@@ -164,24 +223,56 @@ class Server:
                     pend = by_id.pop(rec["request_id"], None)
                     if pend is not None:
                         pend.outputs = rec["outputs"]
+                        if pend.stop:
+                            finalize_stops(pend)
                         if pend.stream:
                             out = pend.outputs[0]["token_ids"]
-                            if len(out) > pend.sent:
+                            if pend.stop_text is not None:
+                                # stop-string cut: the final delta is TEXT so the
+                                # stream ends char-exactly at the match (a token
+                                # boundary can land mid-stop-string)
+                                sent_text = self.tokenizer.decode(out[: pend.sent]) if pend.sent else ""
+                                if pend.stop_text.startswith(sent_text) and len(pend.stop_text) > len(sent_text):
+                                    pend.deltas.put(pend.stop_text[len(sent_text) :])
+                                pend.sent = len(out)
+                            elif len(out) > pend.sent:
                                 pend.deltas.put(out[pend.sent :])
                                 pend.sent = len(out)
                             pend.deltas.put(None)  # terminal sentinel
                         pend.event.set()
-                # push newly-harvested tokens of still-running streamed requests
-                if any(p.stream for p in by_id.values()):
+                # client-disconnect aborts: free the slot instead of decoding
+                # to a dead socket (the terminal record surfaces next step)
+                while True:
+                    try:
+                        pend = self._cancels.get_nowait()
+                    except queue.Empty:
+                        break
+                    if pend.rid is not None and pend.rid in by_id:
+                        eng.cancel_request(pend.rid, finish_reason="abort")
+                # stop strings + streamed-token pushes over the running slots
+                if any(p.stop or p.stream for p in by_id.values()):
                     for slot in eng._slots:
                         req = slot.req
                         if req is None or req.idx not in by_id:
                             continue
                         pend = by_id[req.idx]
+                        if pend.stop and not slot.done and req.out:
+                            scan_stops(pend, req)
+                            if slot.req is not req:  # cancelled (slot freed);
+                                continue  # the record arrives next step
                         if not pend.stream:
                             continue
                         cap = pend.max_tokens if pend.max_tokens is not None else self.sp.max_tokens
                         have = min(len(req.out), cap)
+                        if pend.stop and have > pend.sent:
+                            # hold back trailing tokens spanning maxlen(stop)-1
+                            # chars so a stop straddling two pushes is never
+                            # partially streamed to the client
+                            hb = max(len(s) for s in pend.stop) - 1
+                            j = have
+                            while j > pend.sent and len(self.tokenizer.decode(req.out[j:have])) < hb:
+                                j -= 1
+                            have = j if len(self.tokenizer.decode(req.out[j:have])) >= hb else pend.sent
                         if have > pend.sent:
                             pend.deltas.put(req.out[pend.sent : have])
                             pend.sent = have
@@ -213,8 +304,12 @@ class Server:
         timeout_s: float = 600,
         sampling: SamplingParams | None = None,
         seed: int | None = None,
+        stop: tuple = (),
     ) -> _Pending:
-        pend = _Pending(prompt=prompt, max_tokens=max_tokens, sampling=sampling, seed=seed)
+        if stop and self.tokenizer is None:
+            raise ValueError("stop strings need a tokenizer")
+        pend = _Pending(prompt=prompt, max_tokens=max_tokens, sampling=sampling,
+                        seed=seed, stop=stop)
         self._q.put(pend)
         if not pend.event.wait(timeout=timeout_s):
             pend.error = "timed out"
@@ -227,14 +322,25 @@ class Server:
         max_tokens: int | None,
         sampling: SamplingParams | None = None,
         seed: int | None = None,
+        stop: tuple = (),
     ) -> _Pending:
         """Enqueue a streamed request and return immediately; the caller
-        drains ``pend.deltas`` (token-id lists, then a None sentinel)."""
+        drains ``pend.deltas`` (token-id lists — or a str for a stop-string
+        cut's char-exact final text — then a None sentinel)."""
+        if stop and self.tokenizer is None:
+            raise ValueError("stop strings need a tokenizer")
         pend = _Pending(prompt=prompt, max_tokens=max_tokens, stream=True,
-                        sampling=sampling, seed=seed)
+                        sampling=sampling, seed=seed, stop=stop)
         self._q.put(pend)
         self._n_requests += 1
         return pend
+
+    def cancel(self, pend: _Pending) -> None:
+        """Abort a request whose client vanished: if already admitted the
+        scheduler host-cancels it on its next pass (freeing the slot); if
+        still queued it is dropped at admission."""
+        pend.aborted = True
+        self._cancels.put(pend)
 
     def metrics(self) -> dict:
         eng = self.engine
@@ -275,11 +381,12 @@ def _make_handler(server: Server):
         def _stream_completion(
             self, tokens: list[int], mt: int | None,
             sampling: SamplingParams | None, seed: int | None,
-            chat: bool = False,
+            chat: bool = False, stop: tuple = (),
         ) -> None:
             """Server-sent events: one `data:` line per harvested token delta,
-            a final record with finish_reason, then `data: [DONE]`."""
-            pend = server.submit_stream(tokens, mt, sampling=sampling, seed=seed)
+            a final record with finish_reason, then `data: [DONE]`. A client
+            disconnect mid-stream aborts the request (frees its slot)."""
+            pend = server.submit_stream(tokens, mt, sampling=sampling, seed=seed, stop=stop)
             obj = "chat.completion.chunk" if chat else "text_completion"
             cid = f"{'chatcmpl' if chat else 'cmpl'}-{int(time.time() * 1e3)}"
             self.send_response(200)
@@ -291,28 +398,36 @@ def _make_handler(server: Server):
                 self.wfile.write(b"data: " + json.dumps(obj_).encode() + b"\n\n")
                 self.wfile.flush()
 
-            if chat:  # conventional first chunk carrying the role
-                emit({"id": cid, "object": obj, "model": server.model_id,
-                      "choices": [{"index": 0, "delta": {"role": "assistant"},
-                                   "finish_reason": None}]})
-            while True:
-                try:
-                    delta = pend.deltas.get(timeout=600)
-                except queue.Empty:
-                    pend.error = "timed out"
-                    break
-                if delta is None:
-                    break
-                if chat:
-                    choice = {"index": 0,
-                              "delta": {"content": server.tokenizer.decode(delta)},
-                              "token_ids": delta, "finish_reason": None}
-                else:
-                    choice = {"index": 0, "token_ids": delta, "finish_reason": None}
-                    if server.tokenizer is not None:
-                        choice["text"] = server.tokenizer.decode(delta)
-                emit({"id": cid, "object": obj, "model": server.model_id,
-                      "choices": [choice]})
+            try:
+                if chat:  # conventional first chunk carrying the role
+                    emit({"id": cid, "object": obj, "model": server.model_id,
+                          "choices": [{"index": 0, "delta": {"role": "assistant"},
+                                       "finish_reason": None}]})
+                while True:
+                    try:
+                        delta = pend.deltas.get(timeout=600)
+                    except queue.Empty:
+                        pend.error = "timed out"
+                        break
+                    if delta is None:
+                        break
+                    if isinstance(delta, str):  # char-exact stop-string tail
+                        text, ids = delta, []
+                    else:
+                        ids = delta
+                        text = server.tokenizer.decode(delta) if server.tokenizer is not None else None
+                    if chat:
+                        choice = {"index": 0, "delta": {"content": text},
+                                  "token_ids": ids, "finish_reason": None}
+                    else:
+                        choice = {"index": 0, "token_ids": ids, "finish_reason": None}
+                        if text is not None:
+                            choice["text"] = text
+                    emit({"id": cid, "object": obj, "model": server.model_id,
+                          "choices": [choice]})
+            except (BrokenPipeError, ConnectionResetError):
+                server.cancel(pend)
+                return
             if pend.error is not None:
                 emit({"id": cid, "error": {"message": pend.error}})
             else:
@@ -368,15 +483,29 @@ def _make_handler(server: Server):
                 n = overrides.get("n", server.sp.n)
                 if stream and n != 1:
                     raise ValueError("stream=true requires sampling n == 1")
+                # OpenAI `stop` strings: scanned host-side over decoded output
+                stop = req.get("stop")
+                if stop is None:
+                    stop = ()
+                elif isinstance(stop, str):
+                    stop = (stop,)
+                elif isinstance(stop, list) and all(isinstance(s, str) and s for s in stop):
+                    stop = tuple(stop)
+                else:
+                    raise ValueError("stop must be a non-empty string or a list of them")
+                if stop and server.tokenizer is None:
+                    raise ValueError("stop strings need a tokenizer")
+                if stop and n != 1:
+                    raise ValueError("stop strings require sampling n == 1")
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": {"message": str(e), "type": "invalid_request_error"}})
                 return
 
             if stream:
-                self._stream_completion(tokens, mt, sampling, seed, chat=chat)
+                self._stream_completion(tokens, mt, sampling, seed, chat=chat, stop=stop)
                 return
 
-            pend = server.submit(tokens, mt, sampling=sampling, seed=seed)
+            pend = server.submit(tokens, mt, sampling=sampling, seed=seed, stop=stop)
             if pend.error is not None:
                 self._json(400, {"error": {"message": pend.error, "type": "invalid_request_error"}})
                 return
@@ -390,11 +519,14 @@ def _make_handler(server: Server):
                 }
                 if req.get("logprobs"):
                     choice["logprobs"] = out.get("logprobs")
+                # a stop-string cut's text is char-exact (the last token can
+                # straddle the match); token_ids were truncated by the engine
+                text = pend.stop_text if pend.stop_text is not None and out["finish_reason"] == "stop" \
+                    else (server.tokenizer.decode(out["token_ids"]) if server.tokenizer is not None else None)
                 if chat:
-                    choice["message"] = {"role": "assistant",
-                                         "content": server.tokenizer.decode(out["token_ids"])}
-                elif server.tokenizer is not None:
-                    choice["text"] = server.tokenizer.decode(out["token_ids"])
+                    choice["message"] = {"role": "assistant", "content": text}
+                elif text is not None:
+                    choice["text"] = text
                 choices.append(choice)
             self._json(200, {
                 "id": f"{'chatcmpl' if chat else 'cmpl'}-{int(time.time() * 1e3)}",

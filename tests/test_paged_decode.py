@@ -390,6 +390,73 @@ def test_per_token_logprobs(setup):
         assert out["logprobs"] is None
 
 
+def test_cancel_request_mid_run(setup):
+    """Host-side cancel (vLLM abort_request role): a running request finalizes
+    immediately with the given reason + truncation, survivors are unaffected,
+    and every page returns to the pool."""
+    cfg, params = setup
+    rng = np.random.default_rng(33)
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).tolist() for n in [5, 9, 7]]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, stop_token_ids=())
+    engine = make_engine(params, cfg)
+    engine.begin_stream(sp)
+    rids = [engine.add_request(p) for p in prompts]
+    outs: dict[int, list] = {}
+    cancelled = False
+    for _ in range(200):
+        for rec in engine.step():
+            outs[rec["request_id"]] = rec["outputs"]
+        if not cancelled and rids[1] not in outs:
+            live = [s for s in engine._slots if s.req is not None and s.req.idx == rids[1]]
+            if live and len(live[0].req.out) >= 3 and not live[0].done:
+                assert engine.cancel_request(rids[1], keep_tokens=3, finish_reason="stop")
+                cancelled = True
+        if len(outs) == 3:
+            break
+    assert cancelled and len(outs) == 3
+    out1 = outs[rids[1]][0]
+    assert out1["finish_reason"] == "stop"
+    assert out1["token_ids"] == naive_greedy(params, cfg, prompts[1], 3)
+    assert len(out1["logprobs"]) == 3
+    for i in (0, 2):
+        assert outs[rids[i]][0]["token_ids"] == naive_greedy(params, cfg, prompts[i], 12)
+    engine.end_stream()
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
+    # unknown / already-completed ids are a no-op False
+    engine.begin_stream(sp)
+    assert not engine.cancel_request(999)
+    engine.end_stream()
+
+
+def test_cancel_request_queued(setup):
+    """Cancelling a request still waiting in the admission queue finalizes it
+    with an empty output and does not disturb the running ones."""
+    cfg, params = setup
+    rng = np.random.default_rng(35)
+    prompts = [rng.integers(0, cfg.vocab_size, 8).tolist() for _ in range(6)]
+    sp = SamplingParams(temperature=0.0, max_tokens=10, stop_token_ids=())
+    engine = make_engine(params, cfg)  # 4 slots < 6 prompts
+    engine.begin_stream(sp)
+    rids = [engine.add_request(p) for p in prompts]
+    engine.step()  # admits the first 4; the last 2 stay queued
+    assert engine.cancel_request(rids[5], finish_reason="abort")
+    outs: dict[int, list] = {}
+    for _ in range(300):
+        for rec in engine.step():
+            outs[rec["request_id"]] = rec["outputs"]
+        if len(outs) == 6:
+            break
+    assert len(outs) == 6
+    assert outs[rids[5]][0] == {
+        "token_ids": [], "finish_reason": "abort", "stop_reason": None,
+        "cumulative_logprob": 0.0, "logprobs": None,
+    }
+    for i in range(5):
+        assert outs[rids[i]][0]["token_ids"] == naive_greedy(params, cfg, prompts[i], 10), i
+    engine.end_stream()
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
+
+
 def test_n_parallel_sampling_greedy_shares_pages(setup):
     """n>1: each prompt yields n sequences (prompt-major order); with greedy
     sampling all siblings equal the n=1 output bitwise — proving the shared

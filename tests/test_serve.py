@@ -241,6 +241,130 @@ def test_per_request_feature_rejected_http(setup, server):
     assert code == 200
 
 
+class _LetterTokenizer:
+    """Deterministic 1-token -> 1-ASCII-letter decode for exact stop-string
+    assertions (a real byte-level tokenizer's decode is not prefix-stable
+    across multi-byte boundaries, which is exactly what the char-exact
+    truncation handles — tested separately via the chat server)."""
+
+    def decode(self, ids):
+        return "".join(chr(97 + (t % 26)) for t in ids)
+
+
+@pytest.fixture()
+def stop_server(setup):
+    cfg, params = setup
+    engine = make_engine(params, cfg, n_slots=3, max_context=64)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+    srv = Server(engine, sp, tokenizer=_LetterTokenizer(), model_id="tiny-stop")
+    srv.start()
+    httpd = run_http_server(srv, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield srv, f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    srv.stop()
+
+
+def test_stop_strings(setup, stop_server):
+    """OpenAI `stop`: generation ends at the first match, the match itself is
+    excluded from the text, token_ids are the shortest prefix containing it."""
+    cfg, params = setup
+    _srv, url = stop_server
+    rng = np.random.default_rng(131)
+    prompt = rng.integers(1, cfg.vocab_size - 1, 10).tolist()
+    full = naive_greedy(params, cfg, prompt, 8)
+    full_text = _LetterTokenizer().decode(full)
+    stop = full_text[3:5]
+    idx = full_text.index(stop)
+
+    code, body = _post(url, "/v1/completions", {"prompt": prompt, "stop": stop})
+    assert code == 200
+    choice = body["choices"][0]
+    assert choice["finish_reason"] == "stop"
+    assert choice["text"] == full_text[:idx]
+    assert stop not in choice["text"]
+    assert choice["token_ids"] == full[: idx + len(stop)]
+
+    # a list of stops: the earliest match wins
+    code, body = _post(url, "/v1/completions",
+                       {"prompt": prompt, "stop": ["zzzz", stop]})
+    assert code == 200 and body["choices"][0]["text"] == full_text[:idx]
+
+    # a never-matching stop runs to the budget
+    code, body = _post(url, "/v1/completions", {"prompt": prompt, "stop": "ZZZ"})
+    assert code == 200
+    assert body["choices"][0]["finish_reason"] == "length"
+    assert body["choices"][0]["token_ids"] == full
+
+    # invalid shapes reject cleanly
+    code, body = _post(url, "/v1/completions", {"prompt": prompt, "stop": [1]})
+    assert code == 400
+    code, body = _post(url, "/v1/completions", {"prompt": prompt, "stop": "x", "n": 2})
+    assert code == 400
+
+
+def test_stop_strings_stream(setup, stop_server):
+    """Streamed stop: held-back deltas never leak the stop string; the
+    concatenated text ends char-exactly at the match."""
+    cfg, params = setup
+    _srv, url = stop_server
+    rng = np.random.default_rng(137)
+    prompt = rng.integers(1, cfg.vocab_size - 1, 11).tolist()
+    full_text = _LetterTokenizer().decode(naive_greedy(params, cfg, prompt, 8))
+    stop = full_text[4:6]
+    idx = full_text.index(stop)
+
+    req = urllib.request.Request(
+        url + "/v1/completions",
+        data=json.dumps({"prompt": prompt, "stop": stop, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        while True:
+            line = r.readline().decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            events.append(json.loads(payload))
+    assert events[-1]["choices"][0]["finish_reason"] == "stop"
+    text = "".join(e["choices"][0].get("text", "") for e in events[:-1])
+    assert text == full_text[:idx]
+    assert stop not in text
+
+
+def test_stream_disconnect_aborts(setup):
+    """server.cancel (the disconnect path) frees the slot and finalizes the
+    request with finish_reason=abort; the server keeps serving. Uses a long
+    budget so the cancel lands mid-run, not after natural completion."""
+    cfg, params = setup
+    engine = make_engine(params, cfg, n_slots=2, max_context=64)
+    sp = SamplingParams(temperature=0.0, max_tokens=48, stop_token_ids=())
+    srv = Server(engine, sp, tokenizer=_LetterTokenizer(), model_id="tiny-abort")
+    srv.start()
+    try:
+        rng = np.random.default_rng(139)
+        prompt = rng.integers(1, cfg.vocab_size - 1, 9).tolist()
+        pend = srv.submit_stream(prompt, None)
+        first = pend.deltas.get(timeout=60)  # at least one delta arrived
+        assert isinstance(first, list) and first
+        srv.cancel(pend)
+        assert pend.event.wait(timeout=60)
+        assert pend.outputs is not None
+        assert pend.outputs[0]["finish_reason"] == "abort"
+        # drain the sentinel; then the engine is fully reusable
+        while pend.deltas.get(timeout=10) is not None:
+            pass
+        done = srv.submit(prompt, 5)
+        assert done.error is None
+        assert done.outputs[0]["token_ids"] == naive_greedy(params, cfg, prompt, 5)
+    finally:
+        srv.stop()
+
+
 @pytest.fixture()
 def chat_server(setup, tmp_path):
     """Server with a real (tiny, DSU-extended) tokenizer for chat endpoints."""
