@@ -518,7 +518,21 @@ def _make_handler(server: Server):
                     "cumulative_logprob": out["cumulative_logprob"],
                 }
                 if req.get("logprobs"):
-                    choice["logprobs"] = out.get("logprobs")
+                    # OpenAI logprobs object (chosen-token logprobs; top-N
+                    # alternatives are not tracked -> top_logprobs null)
+                    lps = out.get("logprobs") or []
+                    ids = out["token_ids"][: len(lps)]
+                    if server.tokenizer is not None:
+                        toks = [server.tokenizer.decode([t]) for t in ids]
+                        offs, pos = [], 0
+                        for t in toks:
+                            offs.append(pos)
+                            pos += len(t)
+                    else:
+                        toks = [str(t) for t in ids]
+                        offs = None
+                    choice["logprobs"] = {"tokens": toks, "token_logprobs": lps,
+                                          "top_logprobs": None, "text_offset": offs}
                 # a stop-string cut's text is char-exact (the last token can
                 # straddle the match); token_ids were truncated by the engine
                 text = pend.stop_text if pend.stop_text is not None and out["finish_reason"] == "stop" \

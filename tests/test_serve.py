@@ -336,6 +336,28 @@ def test_stop_strings_stream(setup, stop_server):
     assert stop not in text
 
 
+def test_logprobs_openai_shape(setup, stop_server):
+    """`logprobs` in the request returns the OpenAI logprobs object: one
+    chosen-token logprob per emitted token, tokens + text offsets aligned."""
+    cfg, params = setup
+    _srv, url = stop_server
+    rng = np.random.default_rng(149)
+    prompt = rng.integers(1, cfg.vocab_size - 1, 8).tolist()
+    code, body = _post(url, "/v1/completions", {"prompt": prompt, "logprobs": 1})
+    assert code == 200
+    choice = body["choices"][0]
+    lp = choice["logprobs"]
+    n = len(choice["token_ids"])
+    assert len(lp["token_logprobs"]) == n == len(lp["tokens"]) == len(lp["text_offset"])
+    assert all(x <= 0.0 for x in lp["token_logprobs"])
+    assert sum(lp["token_logprobs"]) == pytest.approx(choice["cumulative_logprob"], abs=1e-4)
+    assert "".join(lp["tokens"]) == choice["text"]
+    assert lp["text_offset"] == [len("".join(lp["tokens"][:i])) for i in range(n)]
+    # absent from the response when not requested
+    code, body = _post(url, "/v1/completions", {"prompt": prompt})
+    assert code == 200 and "logprobs" not in body["choices"][0]
+
+
 def test_stream_disconnect_aborts(setup):
     """server.cancel (the disconnect path) frees the slot and finalizes the
     request with finish_reason=abort; the server keeps serving. Uses a long
