@@ -211,3 +211,57 @@ def make_cfg(data: dict):
     from ssi_tpu.config import Config
 
     return Config(data)
+
+
+# --- greedy decode oracle -------------------------------------------------------------
+
+_NAIVE_STEP_CACHE: dict = {}
+
+
+def naive_greedy(params, cfg, prompt: list[int], max_tokens: int, buf_len: int = 64) -> list[int]:
+    """Sequential full-recompute greedy decode oracle for engine tests.
+
+    ONE fixed-shape jitted program per (config, padded buffer length) instead
+    of a fresh XLA program per sequence length: the token buffer is padded to
+    ``buf_len`` and the sampled position is a traced operand
+    (dynamic_slice/dynamic_update_slice). Causal masking makes the padded
+    positions irrelevant to the sampled row. Besides being much faster across
+    a suite that calls this thousands of times, this avoids churning out
+    hundreds of tiny CPU executables per test file — a load pattern that
+    reliably segfaults this host's libgcc unwinder (stale JIT EH-frame
+    entries; SIGSEGV in libgcc_s.so.1 `_Unwind_Backtrace`+FDE lookup during a
+    later XLA compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssi_tpu.models.llama3 import forward, logits
+
+    need = len(prompt) + max_tokens
+    while buf_len < need:
+        buf_len *= 2
+
+    key = (id(cfg), buf_len)
+    if key not in _NAIVE_STEP_CACHE:
+
+        def step(params, toks, pos):
+            h = forward(params, toks, cfg, attn_impl="xla", remat=False)
+            hrow = jax.lax.dynamic_slice_in_dim(h, pos, 1, axis=1)
+            t = jnp.argmax(logits(params, hrow)[0, 0]).astype(jnp.int32)
+            toks = jax.lax.dynamic_update_slice(toks, t[None, None], (0, pos + 1))
+            return t, toks
+
+        _NAIVE_STEP_CACHE[key] = jax.jit(step)
+    step = _NAIVE_STEP_CACHE[key]
+
+    buf = np.zeros((1, buf_len), np.int32)
+    buf[0, : len(prompt)] = prompt
+    import jax.numpy as jnp
+
+    toks = jnp.asarray(buf)
+    out = []
+    pos = len(prompt) - 1
+    for _ in range(max_tokens):
+        t, toks = step(params, toks, pos)
+        out.append(int(t))
+        pos += 1
+    return out

@@ -20,17 +20,7 @@ def setup():
     return cfg, params
 
 
-def naive_greedy(params, cfg, prompt, max_tokens):
-    """Reference decode: full forward recompute per step, argmax."""
-    tokens = list(prompt)
-    out = []
-    for _ in range(max_tokens):
-        h = forward(params, jnp.asarray([tokens], jnp.int32), cfg, attn_impl="xla", remat=False)
-        lg = logits(params, h[:, -1:, :])
-        nxt = int(jnp.argmax(lg[0, 0]))
-        out.append(nxt)
-        tokens.append(nxt)
-    return out
+naive_greedy = helpers.naive_greedy  # fixed-shape oracle (see helpers docstring)
 
 
 def test_greedy_matches_naive_full_recompute(setup):

@@ -34,15 +34,7 @@ def make_engine(params, cfg, **kw):
     return PagedDecodeEngine(params, cfg, pad_id=0, **kw)
 
 
-def naive_greedy(params, cfg, prompt, max_tokens):
-    tokens = list(prompt)
-    out = []
-    for _ in range(max_tokens):
-        h = forward(params, jnp.asarray([tokens], jnp.int32), cfg, attn_impl="xla", remat=False)
-        lg = logits(params, h[:, -1:, :])
-        out.append(int(jnp.argmax(lg[0, 0])))
-        tokens.append(out[-1])
-    return out
+naive_greedy = helpers.naive_greedy  # fixed-shape oracle (see helpers docstring)
 
 
 def test_greedy_matches_naive_and_dense(setup):
@@ -1059,6 +1051,68 @@ def test_scheduler_fuzz_feature_compositions(setup, seed):
             if key not in naive_cache:
                 naive_cache[key] = naive_greedy(params, cfg, prompt, max_tokens)
             assert out[0]["token_ids"] == naive_cache[key], (seed, _stream, len(prompt))
+        assert len(eng._free_pages) + len(eng._cache_lru) == eng.n_pages
+        assert set(eng._page_hash) == set(eng._prefix_map.values())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_scheduler_fuzz_with_cancels(setup, seed):
+    """Fuzz host-side cancellation against the composed scheduler (tight pool,
+    prefix sharing, chunked prefill, preemption): random requests are
+    cancelled at random times mid-stream. Cancelled outputs must be exact
+    prefixes of the naive greedy stream with the cancel reason; survivors
+    must be bitwise-exact; pages must balance after every stream."""
+    cfg, params = setup
+    rng = np.random.default_rng(300 + seed)
+    stems = [rng.integers(1, cfg.vocab_size - 1, int(n)).tolist() for n in rng.integers(9, 33, 3)]
+    max_tokens = int(rng.integers(4, 9))
+    eng = make_engine(
+        params, cfg,
+        n_slots=int(rng.integers(2, 5)),
+        n_pages=int(rng.integers(10, 18)),
+        max_context=64,
+        chunk=int(rng.integers(2, 6)),
+        pipeline_depth=int(rng.integers(1, 4)),
+        prefill_chunk=8 if rng.random() < 0.5 else None,
+    )
+    sp = SamplingParams(temperature=0.0, max_tokens=max_tokens, stop_token_ids=())
+    naive_cache: dict[tuple, list[int]] = {}
+    for _stream in range(3):
+        prompts = []
+        for _ in range(int(rng.integers(3, 8))):
+            stem = stems[int(rng.integers(0, len(stems)))]
+            cut = int(rng.integers(1, len(stem) + 1))
+            ext = rng.integers(1, cfg.vocab_size - 1, int(rng.integers(0, 9))).tolist()
+            prompts.append(stem[:cut] + ext)
+        eng.begin_stream(sp)
+        ids = [eng.add_request(p) for p in prompts]
+        to_cancel = {rid for rid in ids if rng.random() < 0.4}
+        keep = {rid: (int(rng.integers(1, max_tokens + 1)) if rng.random() < 0.5 else None)
+                for rid in to_cancel}
+        got: dict[int, list] = {}
+        try:
+            for _ in range(500):
+                for rec in eng.step():
+                    got[rec["request_id"]] = rec["outputs"]
+                for rid in list(to_cancel):
+                    if rid not in got and rng.random() < 0.3:
+                        eng.cancel_request(rid, keep_tokens=keep[rid], finish_reason="abort")
+                        to_cancel.discard(rid)
+                if len(got) == len(ids) and eng.stream_idle:
+                    break
+        finally:
+            eng.end_stream()
+        assert len(got) == len(ids), (seed, _stream)
+        for rid, prompt in zip(ids, prompts):
+            key = tuple(prompt)
+            if key not in naive_cache:
+                naive_cache[key] = naive_greedy(params, cfg, prompt, max_tokens)
+            out = got[rid][0]
+            if out["finish_reason"] == "abort":
+                want = naive_cache[key][: keep.get(rid)] if keep.get(rid) is not None else naive_cache[key]
+                assert out["token_ids"] == want[: len(out["token_ids"])], (seed, _stream, rid)
+            else:  # completed before (or without) the cancel
+                assert out["token_ids"] == naive_cache[key], (seed, _stream, rid)
         assert len(eng._free_pages) + len(eng._cache_lru) == eng.n_pages
         assert set(eng._page_hash) == set(eng._prefix_map.values())
 
