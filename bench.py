@@ -115,12 +115,16 @@ def _measure(shape, packed: bool = False, steps: int = STEPS) -> float:
         float(metrics["loss_sum"])
     tokens_per_step = int(metrics["num_tokens"])  # ground truth from the step itself
 
-    t0 = time.perf_counter()
+    # median-of-steps: each step is individually host-synced anyway (the float()
+    # above), and a single tunnel hiccup inside a summed window drags the whole
+    # number — the median is the steady-state per-step rate
+    times = []
     for _ in range(steps):
+        t0 = time.perf_counter()
         state, metrics = step(state, *args)
         float(metrics["loss_sum"])
-    dt = time.perf_counter() - t0
-    return tokens_per_step * steps / dt / n_chips
+        times.append(time.perf_counter() - t0)
+    return tokens_per_step / float(np.median(times)) / n_chips
 
 
 def _measure_paged_decode(quantize=None) -> float:
