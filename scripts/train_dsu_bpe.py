@@ -21,6 +21,7 @@ Usage:
 """
 
 from argparse import ArgumentParser, Namespace
+from itertools import groupby
 import json
 import logging
 import os
@@ -50,6 +51,14 @@ def parse_args() -> Namespace:
     parser.add_argument("--n-samples", type=int, default=None, help="Cap on corpus rows (streamed).")
     parser.add_argument("--speech-tokens-key", type=str, default=SPEECH_TOKENS_KEY)
     parser.add_argument("--min-pair-count", type=int, default=2)
+    parser.add_argument(
+        "--deduplicate",
+        action="store_true",
+        help="Collapse consecutive duplicate DSUs before training, matching the data "
+        "pipeline's `speech.deduplicate` (default true there). Merges trained on raw "
+        "streams mostly capture hold-repeats that deduplication removes at training "
+        "time, so they never fire — set this whenever the consuming run deduplicates.",
+    )
     return parser.parse_args()
 
 
@@ -67,6 +76,8 @@ def dsu_corpus(args: Namespace) -> list[str]:
         toks = row[args.speech_tokens_key]
         if isinstance(toks, str):
             toks = [int(t) for t in toks.split()]
+        if args.deduplicate:
+            toks = [k for k, _ in groupby(toks)]
         corpus.append("".join(dsu2pua(int(t)) for t in toks))
     if not corpus:
         raise ValueError(f"No rows with key {args.speech_tokens_key!r} in {args.dataset}:{args.split}")
@@ -87,6 +98,7 @@ def main(args: Namespace) -> None:
     ratio = compression_ratio(corpus, ranks)
     stats = {
         "n_rows": len(corpus),
+        "deduplicate": args.deduplicate,
         "n_dsu_tokens": n_dsu_tokens,
         "n_merges_learned": len(ranks) - 256,
         "vocab_size": len(ranks),

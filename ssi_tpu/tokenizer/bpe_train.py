@@ -147,6 +147,7 @@ def merge_into_tokenizer(
     base_model: str | Path,
     trained_ranks: dict[bytes, int],
     output_path: str | Path,
+    use_modality_tokens: bool = False,
 ) -> int:
     """Append trained DSU-compression merges to a base ``tokenizer.model``.
 
@@ -159,7 +160,16 @@ def merge_into_tokenizer(
     merges fire, and extend the model embedding by the RETURNED count
     (pass it as ``n_dsus``).
 
-    Returns the number of appended tokens.
+    ``use_modality_tokens``: also append the two modality tokens after the
+    merges, matching ``extend_tiktoken``'s [dsu | modality] layout. Required
+    when this file substitutes the tokenizer of a model extended with
+    ``speech.use_modality_tokens`` (the default) — without them the specials
+    land two ranks below the extended ``config.json``'s bos/eos ids and the
+    modality codepoints fall back to raw UTF-8 bytes. Modality tokens do NOT
+    count toward the returned ``n_dsus`` (the embedding layout accounts for
+    them separately, exactly as in the uncompressed path).
+
+    Returns the number of appended compression tokens (single-DSU + merges).
     """
     import base64 as b64
 
@@ -181,4 +191,13 @@ def merge_into_tokenizer(
             f.write(b64.b64encode(tok).decode() + f" {next_rank}\n")
             next_rank += 1
             appended += 1
+        if use_modality_tokens:
+            from ssi_tpu.speech import MODALITY_TOKEN_SPEECH, MODALITY_TOKEN_TEXT
+
+            for tok_str in (MODALITY_TOKEN_TEXT, MODALITY_TOKEN_SPEECH):
+                tok = tok_str.encode("utf-8")
+                if tok in existing:
+                    raise RuntimeError(f"Modality token {tok_str!r} already exists in the base vocabulary")
+                f.write(b64.b64encode(tok).decode() + f" {next_rank}\n")
+                next_rank += 1
     return appended

@@ -153,3 +153,36 @@ def test_compressed_dsu_tokenizer_end_to_end(tmp_path):
         assert comp.decode(ids_comp, truncate_at_eos=False, skip_special_tokens=False) == line
         # compressed ids stay below the dynamic specials (extension-compatible)
         assert all(i < comp.base_vocab_size for i in ids_comp)
+
+
+def test_merge_into_tokenizer_modality_tokens(tmp_path):
+    """With use_modality_tokens the file matches extend_tiktoken's
+    [base | dsu/merges | modality] layout: the two modality tokens occupy the
+    last two base-vocab ranks (so dynamic specials line up with an extended
+    model's config.json), and n_appended still counts only compression tokens
+    (it is the embedding's n_dsus)."""
+    from ssi_tpu.speech import MODALITY_TOKEN_SPEECH, MODALITY_TOKEN_TEXT
+    from ssi_tpu.tokenizer import setup_llama3_tokenizer
+    from ssi_tpu.tokenizer.bpe_train import merge_into_tokenizer
+    from tests import helpers
+
+    corpus = _dsu_corpus(n_rows=64, n_dsus=24, seed=11)
+    ranks = train_bpe(corpus, 120, split_pattern=None)
+    base = helpers.write_tiny_tokenizer(tmp_path / "base" / "tokenizer.model")
+
+    plain = tmp_path / "plain.model"
+    with_mod = tmp_path / "mod.model"
+    n_plain = merge_into_tokenizer(base, ranks, plain)
+    n_mod = merge_into_tokenizer(base, ranks, with_mod, use_modality_tokens=True)
+    assert n_mod == n_plain  # modality tokens excluded from the n_dsus count
+
+    tok_plain, specials_plain = setup_llama3_tokenizer(plain, verbose=False)
+    tok_mod, specials_mod = setup_llama3_tokenizer(with_mod, verbose=False)
+    assert tok_mod.base_vocab_size == tok_plain.base_vocab_size + 2
+    # specials shift up by exactly the two modality rows
+    assert min(specials_mod.values()) == min(specials_plain.values()) + 2
+    # the modality codepoints encode as single tokens at the top of base vocab
+    ids_text = tok_mod.encode(MODALITY_TOKEN_TEXT, add_bos=False, add_eos=False)
+    ids_speech = tok_mod.encode(MODALITY_TOKEN_SPEECH, add_bos=False, add_eos=False)
+    assert ids_text == [tok_mod.base_vocab_size - 2]
+    assert ids_speech == [tok_mod.base_vocab_size - 1]
