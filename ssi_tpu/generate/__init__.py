@@ -152,6 +152,7 @@ def run_generation(cfg: Any) -> Path:
             prefix_caching=bool(cfg.get("prefix_caching", True)),
             mesh=_serving_mesh(int(cfg.get("tensor_parallel", 1) or 1)),
             prefill_chunk=cfg.get("prefill_chunk"),
+            admission_order=str(cfg.get("admission_order", "fifo") or "fifo"),
         )
     elif engine_kind == "dense":
         engine = DecodeEngine(params, model_cfg, pad_id=tokenizer.pad_id)

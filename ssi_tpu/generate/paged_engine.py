@@ -149,6 +149,8 @@ class _Request:
     max_tokens: int | None = None  # per-request budget (<= stream sp.max_tokens)
     sampling: SamplingParams | None = None  # per-request override (None = stream sp)
     rng_seed: int = 0             # per-sequence sampling seed (rides the control array)
+    requeued: bool = False        # preempted / gang-split work parked at the queue
+    # front; sorted admission orders (sjf/ljf) never insert ahead of it
 
 
 @dataclass
@@ -308,6 +310,7 @@ class PagedDecodeEngine:
         prefix_caching: bool = True,
         mesh: Any = None,
         prefill_chunk: int | None = None,
+        admission_order: str = "fifo",
     ):
         if mesh is not None:
             # Tensor-parallel serving (the vLLM tensor_parallel_size role): the
@@ -361,6 +364,19 @@ class PagedDecodeEngine:
                 f"prompt_bucket ({prompt_bucket})"
             )
         self.prefill_chunk = prefill_chunk
+        if admission_order not in ("fifo", "sjf", "ljf"):
+            raise ValueError(
+                f"Unknown admission_order {admission_order!r}; expected 'fifo', 'sjf', or 'ljf'"
+            )
+        # Queue discipline for NEW requests (preempted work always re-queues at
+        # the front — it holds in-progress tokens). Estimated job size is
+        # prompt_len + per-request token budget:
+        #   - fifo: arrival order (serving default — no starvation, stable TTFT)
+        #   - sjf:  shortest-first — minimizes mean completion time / mean TTFT
+        #   - ljf:  longest-first (LPT) — minimizes batch makespan: long jobs
+        #     start early so the drain tail (slots emptying with nothing left
+        #     to admit) is spent on short work, not the stragglers
+        self.admission_order = admission_order
         self.max_context = _round_up(_round_up(max_context, page_size), prompt_bucket)
         self.max_pages_per_seq = self.max_context // page_size
         self.prompt_bucket = prompt_bucket
@@ -829,6 +845,7 @@ class PagedDecodeEngine:
         slot.req.out = []
         slot.req.lps = []
         slot.req.clp = 0.0
+        slot.req.requeued = True
         queue.insert(0, [slot.req])
         self._free_slot(slot)
         return victim
@@ -1033,7 +1050,7 @@ class PagedDecodeEngine:
         base_seed = seed if seed is not None else (42831 + idx)
         # the queue holds GROUPS: the n sequences of a prompt admit together so
         # they can share prefix pages; preempted/split members re-queue solo
-        st.queue.append([
+        self._queue_insert(st, [
             _Request(
                 idx=idx, prompt=list(prompt), seq=j, max_tokens=max_tokens,
                 sampling=sampling,
@@ -1044,6 +1061,27 @@ class PagedDecodeEngine:
         st.expected[idx] = esp.n
         st.stats["prompt_tokens"] += len(prompt)
         return idx
+
+    def _job_estimate(self, req: _Request, sp: SamplingParams) -> int:
+        """Estimated total job size in tokens: prompt + per-request budget."""
+        mt = req.max_tokens if req.max_tokens is not None else sp.max_tokens
+        return len(req.prompt) + mt
+
+    def _queue_insert(self, st: "_Stream", group: list[_Request]) -> None:
+        """Place a NEW group per the admission order. fifo appends; sjf/ljf
+        insert sorted by estimated job size (stable — ties keep arrival order),
+        never ahead of requeued (preempted / gang-split) work at the front."""
+        if self.admission_order == "fifo":
+            st.queue.append(group)
+            return
+        sign = 1 if self.admission_order == "sjf" else -1
+        key = sign * self._job_estimate(group[0], st.sp)
+        i = 0
+        while i < len(st.queue) and (
+            st.queue[i][0].requeued or sign * self._job_estimate(st.queue[i][0], st.sp) <= key
+        ):
+            i += 1
+        st.queue.insert(i, group)
 
     def cancel_request(
         self,
@@ -1709,6 +1747,8 @@ class PagedDecodeEngine:
                     # engine: split it — each sequence runs solo (its fit
                     # was validated upfront), trading page sharing for
                     # progress
+                    for r in st.queue[0]:
+                        r.requeued = True  # hold the front across sorted admission orders
                     st.queue[:1] = [[r] for r in st.queue[0]]
                     return
                 # nothing is running, every page is free, and a prompt still

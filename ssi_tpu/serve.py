@@ -640,6 +640,7 @@ def run_server(cfg: Any) -> None:
         prefix_caching=bool(cfg.get("prefix_caching", True)),
         mesh=_serving_mesh(int(cfg.get("tensor_parallel", 1) or 1)),
         prefill_chunk=cfg.get("prefill_chunk"),
+        admission_order=str(cfg.get("admission_order", "fifo") or "fifo"),
     )
     feat_cfg = cfg.server.get("sampling_features", "sample,topk,topp")
     features = frozenset(f.strip() for f in str(feat_cfg or "").split(",") if f.strip())

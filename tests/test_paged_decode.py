@@ -1317,3 +1317,77 @@ def test_per_request_sampling_max_tokens_budget(setup):
     outs = run_stream(engine, sp, [{"prompt": prompt, "sampling": SamplingParams(max_tokens=3)}])
     assert len(outs[0][0]["token_ids"]) == 3
     assert outs[0][0]["finish_reason"] == "length"
+
+
+def test_admission_order_sjf_ljf(setup):
+    """Queue discipline: with one slot, jobs run serially in admission order —
+    sjf completes shortest-estimate requests first, ljf longest-first, and
+    both return the same greedy tokens as fifo (scheduling-invariant)."""
+    cfg, params = setup
+    rng = np.random.default_rng(31)
+    prompt = rng.integers(0, cfg.vocab_size, 5).tolist()
+    budgets = [6, 2, 4]  # same prompt -> estimate ordering is the budget ordering
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+
+    def drive(order):
+        engine = make_engine(params, cfg, n_slots=1, admission_order=order)
+        engine.begin_stream(sp)
+        ids = [engine.add_request(list(prompt), max_tokens=b) for b in budgets]
+        finished = []
+        try:
+            while not engine.stream_idle:
+                for rec in engine.step():
+                    finished.append(rec["request_id"])
+        finally:
+            engine.end_stream()
+        return ids, finished
+
+    ids, finished = drive("sjf")
+    assert finished == [ids[1], ids[2], ids[0]]  # budgets 2, 4, 6
+    ids, finished = drive("ljf")
+    assert finished == [ids[0], ids[2], ids[1]]  # budgets 6, 4, 2
+    ids, finished = drive("fifo")
+    assert finished == ids
+
+    # tokens are policy-invariant (greedy; per-request budget caps length)
+    outs = {}
+    for order in ("fifo", "sjf", "ljf"):
+        engine = make_engine(params, cfg, n_slots=1, admission_order=order)
+        outs[order] = run_stream(
+            engine, sp, [{"prompt": list(prompt), "max_tokens": b} for b in budgets]
+        )
+    for o in ("sjf", "ljf"):
+        for a, b in zip(outs["fifo"], outs[o]):
+            assert a[0]["token_ids"] == b[0]["token_ids"]
+
+
+def test_admission_order_requeued_front_priority(setup):
+    """Sorted admission never jumps ahead of preempted / gang-split work parked
+    at the queue front (it holds in-progress output and must resume first)."""
+    cfg, params = setup
+    sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+    engine = make_engine(params, cfg, admission_order="sjf")
+    engine.begin_stream(sp)
+    try:
+        st = engine._st
+        # long job queued first, then a requeued (preempted) job parked at front
+        engine.add_request([1, 2, 3, 4, 5], max_tokens=8)
+        from ssi_tpu.generate.paged_engine import _Request
+
+        preempted = _Request(idx=999, prompt=[7] * 5, max_tokens=8, requeued=True)
+        st.queue.insert(0, [preempted])
+        # a brand-new tiny job sorts ahead of the long one but NOT the requeued
+        engine.add_request([1], max_tokens=1)
+        assert st.queue[0][0] is preempted
+        assert st.queue[1][0].prompt == [1]
+        assert st.queue[2][0].prompt == [1, 2, 3, 4, 5]
+        st.queue.clear()  # hand-crafted entries must not reach admission
+        st.expected.clear()
+    finally:
+        engine.end_stream()
+
+
+def test_admission_order_rejects_unknown(setup):
+    cfg, params = setup
+    with pytest.raises(ValueError, match="admission_order"):
+        make_engine(params, cfg, admission_order="lifo")
