@@ -51,8 +51,13 @@ def generate_sample(
     model_config: str = "llama3_2_1b",
     dtype: str = "bf16",
     seed: int = 0,
+    pattern: str | None = None,
 ) -> dict:
-    """Generate one completion; returns a structured record (vLLM-style)."""
+    """Generate one completion; returns a structured record (vLLM-style).
+
+    ``pattern``: tokenizer split-pattern selector (``None`` = PUA contract;
+    ``"cl100k"`` for BPE-compressed DSU checkpoints — docs/COMPRESSED_DSU.md).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +68,9 @@ def generate_sample(
     from ssi_tpu.tokenizer import setup_llama3_tokenizer
 
     model_dir = Path(model_dir)
-    tokenizer, special_tokens = setup_llama3_tokenizer(model_dir / "original" / "tokenizer.model", verbose=False)
+    tokenizer, special_tokens = setup_llama3_tokenizer(
+        model_dir / "original" / "tokenizer.model", verbose=False, pattern=pattern
+    )
     special_int2str = {v: k for k, v in special_tokens.items()}
 
     if sum(x is not None for x in (text, token_ids, template)) != 1:
@@ -139,6 +146,10 @@ def parse_args() -> Namespace:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--model_config", type=str, default="llama3_2_1b")
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    parser.add_argument(
+        "--pattern", type=str, default=None,
+        help="Tokenizer split pattern: omit for the PUA contract; 'cl100k' for BPE-compressed DSU checkpoints",
+    )
     parser.add_argument("--jsonl_out", type=Path, default=None, help="Append the structured record here")
     return parser.parse_args()
 
@@ -163,6 +174,7 @@ def main(args: Namespace) -> None:
         seed=args.seed,
         model_config=args.model_config,
         dtype=args.dtype,
+        pattern=args.pattern,
     )
     print(record["outputs"][0]["text"])
     if args.jsonl_out is not None:
