@@ -35,6 +35,7 @@ __all__ = [
     "make_mesh",
     "param_specs",
     "param_shardings",
+    "opt_state_shardings",
     "batch_sharding",
     "replicated",
     "shard_params",
@@ -296,6 +297,51 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
 def shard_params(mesh: Mesh, params: Any) -> Any:
     """Place a (host) param pytree onto the mesh with the tp layout."""
     return jax.device_put(params, param_shardings(mesh, params))
+
+
+def _zero1_spec(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
+    """Augment a (tp-resolved) spec with "dp" on the first shardable dimension.
+
+    ZeRO-1 layout rule: optimizer moments additionally shard over the data-parallel
+    axis so their persistent HBM footprint divides by dp. Preference order per leaf:
+    the first dimension that is unsharded and divisible by dp; else co-shard a
+    tp-sharded dimension as ("tp", "dp") when divisible by tp*dp; else leave the
+    leaf as-is (tiny scalars/norm vectors dominate nothing).
+    """
+    dp = mesh.shape["dp"]
+    if dp == 1:
+        return spec
+    axes = list(tuple(spec) + (None,) * (len(shape) - len(spec)))
+    for i, (dim, ax) in enumerate(zip(shape, axes)):
+        if ax is None and dim % dp == 0:
+            axes[i] = "dp"
+            return P(*axes)
+    for i, (dim, ax) in enumerate(zip(shape, axes)):
+        if ax == "tp" and dim % (dp * mesh.shape["tp"]) == 0:
+            axes[i] = ("tp", "dp")
+            return P(*axes)
+    return spec
+
+
+def opt_state_shardings(mesh: Mesh, params: Any, *, zero1: bool = False) -> dict[str, Any]:
+    """NamedSharding tree for AdamW state ({mu, nu, count}).
+
+    Default: moments shard exactly like their parameter (replicated over dp).
+    ``zero1``: moments additionally shard over dp (ZeRO-1) — XLA then reduce-
+    scatters gradients into the moment update and all-gathers the fresh params,
+    the same bytes as the plain all-reduce but with the optimizer state and
+    update compute partitioned across the dp group.
+    """
+    p_shardings = param_shardings(mesh, params)
+    if zero1:
+        moment = jax.tree.map(
+            lambda s, leaf: NamedSharding(mesh, _zero1_spec(s.spec, leaf.shape, mesh)),
+            p_shardings,
+            params,
+        )
+    else:
+        moment = p_shardings
+    return {"mu": moment, "nu": moment, "count": NamedSharding(mesh, P())}
 
 
 def batch_sharding(mesh: Mesh, accum_axis: bool = True) -> NamedSharding:

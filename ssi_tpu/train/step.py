@@ -121,11 +121,18 @@ def make_train_step(
     chunk_size: int = 1024,
     grad_accum_dtype=jnp.float32,
     donate: bool = True,
+    state_shardings: dict | None = None,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict[str, jnp.ndarray]]]:
     """Build the jitted optimizer-step function.
 
     The returned callable maps ``(state, tokens [A,B,S], labels [A,B,S])`` to
     ``(new_state, metrics)`` where A is the accumulation window.
+
+    ``state_shardings``: optional ``{"params": ..., "opt_state": ...}`` NamedSharding
+    trees pinning the output layout. Used for ZeRO-1 (dp-sharded optimizer moments):
+    constraining grads + new moments to the dp-sharded layout makes XLA reduce-
+    scatter gradients into a partitioned update and all-gather the fresh params —
+    all-reduce bytes, 1/dp the persistent moment HBM and update compute.
     """
     if attn_impl == "auto" and jax.devices()[0].platform == "tpu":
         # TRAINING resolves auto -> pallas flash attention regardless of S:
@@ -169,6 +176,11 @@ def make_train_step(
         denom = jnp.maximum(num_tokens, 1).astype(jnp.float32)
         grads = jax.tree.map(lambda g: g / denom, grads)
 
+        if state_shardings is not None:
+            # Pin grads to the moment layout here so the dp reduce-scatter happens
+            # once, before clipping — the norm is a psum over shards either way.
+            grads = jax.lax.with_sharding_constraint(grads, state_shardings["opt_state"]["mu"])
+
         if clip_grad_norm is not None:
             grads, grad_norm = clip_by_global_norm(grads, float(clip_grad_norm))
         else:
@@ -192,6 +204,9 @@ def make_train_step(
         new_params, new_opt_state = jax.lax.cond(
             applied, do_update, skip_update, (grads, state["opt_state"], params)
         )
+        if state_shardings is not None:
+            new_params = jax.lax.with_sharding_constraint(new_params, state_shardings["params"])
+            new_opt_state = jax.lax.with_sharding_constraint(new_opt_state, state_shardings["opt_state"])
         new_state = {
             "params": new_params,
             "opt_state": new_opt_state,

@@ -43,8 +43,8 @@ from ssi_tpu.parallel import (
     host_local_to_global,
     initialize_distributed,
     make_mesh,
+    opt_state_shardings,
     param_shardings,
-    replicated,
     shard_params,
 )
 from ssi_tpu.tokenizer import setup_llama3_tokenizer
@@ -159,8 +159,12 @@ class Trainer:
         pcfg = self.cfg.get("parallel")
         dp = pcfg.get("dp") if pcfg is not None else None
         tp = int(pcfg.get("tp", 1)) if pcfg is not None else 1
+        self._zero1 = bool(pcfg.get("zero1", False)) if pcfg is not None else False
         self.mesh = make_mesh(dp=dp, tp=tp)
-        LOGGER.info(f"Device mesh: dp={self.mesh.shape['dp']} tp={self.mesh.shape['tp']}")
+        LOGGER.info(
+            f"Device mesh: dp={self.mesh.shape['dp']} tp={self.mesh.shape['tp']}"
+            + (" (ZeRO-1 optimizer sharding)" if self._zero1 else "")
+        )
 
     def _setup_logging(self) -> None:
         tags = [__version__, self.cfg.config_name]
@@ -221,14 +225,9 @@ class Trainer:
         self.opt_cfg = AdamWConfig.from_cfg(self.cfg.optimizer)
         self.lr_schedule = setup_lr_schedule(self.cfg, num_training_steps=self.cfg.max_steps)
         params = self.state["params"]
+        shardings = opt_state_shardings(self.mesh, params, zero1=self._zero1)
         if self._resume_state is not None:
             host_opt = self._resume_state["optimizer_state"]
-            p_shardings = param_shardings(self.mesh, params)
-            shardings = {
-                "mu": p_shardings,
-                "nu": p_shardings,
-                "count": replicated(self.mesh),
-            }
             from ssi_tpu.checkpoint.orbax_io import is_orbax_marker, restore_opt_state
 
             if is_orbax_marker(host_opt):
@@ -252,11 +251,7 @@ class Trainer:
             with self.mesh:
                 self.state["opt_state"] = jax.jit(
                     lambda p: init_opt_state(p, self.opt_cfg),
-                    out_shardings={
-                        "mu": param_shardings(self.mesh, params),
-                        "nu": param_shardings(self.mesh, params),
-                        "count": replicated(self.mesh),
-                    },
+                    out_shardings=shardings,
                 )(params)
 
     def _setup_data(self) -> None:
@@ -330,6 +325,14 @@ class Trainer:
             remat=self.cfg.get("remat", True),  # bool or a REMAT_POLICIES name
             chunk_size=chunk_size,
             grad_accum_dtype=accum_dtype,
+            state_shardings=(
+                {
+                    "params": param_shardings(self.mesh, self.state["params"]),
+                    "opt_state": opt_state_shardings(self.mesh, self.state["params"], zero1=True),
+                }
+                if self._zero1
+                else None
+            ),
         )
         self.eval_step = make_eval_step(self._llama_config, attn_impl=attn_impl, chunk_size=chunk_size)
         self._batch_sharding = batch_sharding(self.mesh, accum_axis=True)

@@ -133,3 +133,64 @@ class TestHybridDcnMesh:
         assert float(loss) == pytest.approx(ref_loss, rel=1e-5)
         for a, b in zip(jax.tree.leaves(jax.device_get(grads)), jax.tree.leaves(ref_grads)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5)
+
+
+class TestZero1:
+    """ZeRO-1: AdamW moments shard over dp; math must equal replicated state."""
+
+    def test_spec_augmentation(self):
+        from ssi_tpu.parallel import _zero1_spec
+
+        mesh = make_mesh(dp=4, tp=2)
+        # first unsharded divisible dim takes "dp"
+        assert _zero1_spec(P("tp", None), (530, 64), mesh) == P("tp", "dp")
+        assert _zero1_spec(P(None, None, "tp"), (2, 64, 32), mesh) == P(None, "dp", "tp")
+        assert _zero1_spec(P(), (64,), mesh) == P("dp")
+        # nothing divisible: unchanged (no crash)
+        assert _zero1_spec(P(), (3, 5), mesh) == P()
+        # co-shard a tp dim when it's the only divisible one
+        assert _zero1_spec(P(None, "tp"), (3, 16), mesh) == P(None, ("tp", "dp"))
+
+    def test_step_matches_replicated_and_shrinks_moments(self):
+        from ssi_tpu.parallel import opt_state_shardings, param_shardings
+
+        cfg = helpers.tiny_config()
+        rng = np.random.default_rng(3)
+        tokens = rng.integers(0, cfg.vocab_size, (2, 8, 64)).astype(np.int32)
+        out = {}
+        for zero1 in (False, True):
+            mesh = make_mesh(dp=4, tp=2)
+            params = shard_params(mesh, init_params(cfg, jax.random.key(0), dtype=jnp.float32))
+            opt_cfg = AdamWConfig(lr=1e-3, mu_dtype=jnp.float32, nu_dtype=jnp.float32)
+            osh = opt_state_shardings(mesh, params, zero1=zero1)
+            opt_state = jax.jit(lambda p: init_opt_state(p, opt_cfg), out_shardings=osh)(params)
+            state = {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+            step = make_train_step(
+                cfg,
+                opt_cfg,
+                constant_schedule(1e-3),
+                clip_grad_norm=1.0,
+                chunk_size=64,
+                donate=False,
+                state_shardings=(
+                    {"params": param_shardings(mesh, params), "opt_state": osh} if zero1 else None
+                ),
+            )
+            bsh = batch_sharding(mesh)
+            new_state, m = step(state, jax.device_put(tokens, bsh), jax.device_put(tokens.copy(), bsh))
+            out[zero1] = (jax.device_get(new_state), float(m["loss_sum"]), int(m["num_tokens"]))
+            if zero1:
+                mu_embed = new_state["opt_state"]["mu"]["embed"]
+                # persistent moment buffer is 1/(dp*tp) per device, dp in the layout
+                assert "dp" in jax.tree.leaves(tuple(mu_embed.sharding.spec))
+                assert mu_embed.addressable_shards[0].data.size * 8 == mu_embed.size
+
+        assert out[True][2] == out[False][2]  # token accounting identical
+        assert out[True][1] == pytest.approx(out[False][1], rel=1e-6)
+        # Grad reduce-scatter changes fp32 summation order; near-zero grads at step 1
+        # (denom ~ eps) amplify that into ~3e-5 on isolated params. Bound abs error
+        # well under the 1e-3 update scale.
+        for a, b in zip(jax.tree.leaves(out[True][0]["params"]), jax.tree.leaves(out[False][0]["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+        for a, b in zip(jax.tree.leaves(out[True][0]["opt_state"]["mu"]), jax.tree.leaves(out[False][0]["opt_state"]["mu"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)  # reduce-scatter reduction order

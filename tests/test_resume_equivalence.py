@@ -284,3 +284,37 @@ def test_resume_equivalence_windowed_packed(model_dir, tmp_path, monkeypatch):
     assert losses_a + losses_b == losses_full, (
         f"Packed loss streams diverge:\nfull    ={losses_full}\ncombined={losses_a + losses_b}"
     )
+
+
+def test_resume_zero1_optimizer_sharding(model_dir, tmp_path, monkeypatch):
+    """ZeRO-1 (parallel.zero1): moments dp-sharded on device, math agrees with the
+    replicated run (fp reduction-order tolerance), and an interrupted run resumes
+    bitwise — save gathers the shards, restore re-places them onto the dp layout."""
+    import jax
+
+    from ssi_tpu.checkpoint import TRAINING_STATE_FNAME
+
+    _patch_data(monkeypatch)
+    z1 = {"parallel": {"dp": 2, "tp": 2, "zero1": True}}  # sft batch_size=2 -> dp<=2
+
+    _, losses_repl, _ = run_trainer(model_dir, tmp_path / "repl", TOTAL_STEPS, mesh=(2, 2))
+    t1, losses_z, _ = run_trainer(model_dir, tmp_path / "z", TOTAL_STEPS, extra_cfg=z1)
+
+    mu_embed = t1.state["opt_state"]["mu"]["embed"]
+    assert "dp" in jax.tree.leaves(tuple(mu_embed.sharding.spec))
+    assert mu_embed.addressable_shards[0].data.size < mu_embed.size
+
+    for got, want in zip(losses_z, losses_repl):
+        assert got == pytest.approx(want, rel=1e-5)
+
+    # Interrupted-and-resumed zero1 run: bitwise continuation of the zero1 stream.
+    _, losses_a, _ = run_trainer(model_dir, tmp_path / "int", HALF_STEPS, extra_cfg=z1)
+    assert losses_a == losses_z[:HALF_STEPS]
+    _, losses_b, _ = run_trainer(
+        model_dir=tmp_path / "int" / f"step_{HALF_STEPS}",
+        ckpt_dir=tmp_path / "res",
+        max_steps=TOTAL_STEPS,
+        training_state=tmp_path / "int" / TRAINING_STATE_FNAME,
+        extra_cfg=z1,
+    )
+    assert losses_b == losses_z[HALF_STEPS:]
