@@ -285,18 +285,32 @@ def _divisible_spec(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
     return P(*out) if changed else spec
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
-    return jax.tree.map(
+def param_shardings(mesh: Mesh, params: Any, *, fsdp: bool = False) -> Any:
+    """NamedSharding tree for params: tp layout; ``fsdp`` adds dp (ZeRO-3).
+
+    With ``fsdp`` the *resident* parameter buffers additionally shard over the
+    dp axis (same augmentation rule as the ZeRO-1 moments); the forward's
+    per-layer weight slices are all-gathered by XLA where consumed, so
+    persistent params + grads + moments all divide by dp.
+    """
+    base = jax.tree.map(
         lambda spec, leaf: NamedSharding(mesh, _divisible_spec(spec, leaf.shape, mesh)),
         param_specs(params),
         params,
         is_leaf=lambda x: isinstance(x, P),
     )
+    if not fsdp:
+        return base
+    return jax.tree.map(
+        lambda s, leaf: NamedSharding(mesh, _zero1_spec(s.spec, leaf.shape, mesh)),
+        base,
+        params,
+    )
 
 
-def shard_params(mesh: Mesh, params: Any) -> Any:
-    """Place a (host) param pytree onto the mesh with the tp layout."""
-    return jax.device_put(params, param_shardings(mesh, params))
+def shard_params(mesh: Mesh, params: Any, *, fsdp: bool = False) -> Any:
+    """Place a (host) param pytree onto the mesh with the tp (+ optional fsdp) layout."""
+    return jax.device_put(params, param_shardings(mesh, params, fsdp=fsdp))
 
 
 def _zero1_spec(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
@@ -330,7 +344,8 @@ def opt_state_shardings(mesh: Mesh, params: Any, *, zero1: bool = False) -> dict
     ``zero1``: moments additionally shard over dp (ZeRO-1) — XLA then reduce-
     scatters gradients into the moment update and all-gathers the fresh params,
     the same bytes as the plain all-reduce but with the optimizer state and
-    update compute partitioned across the dp group.
+    update compute partitioned across the dp group. (Under fsdp the moments get
+    the identical augmentation, so zero1=True covers both.)
     """
     p_shardings = param_shardings(mesh, params)
     if zero1:

@@ -159,11 +159,13 @@ class Trainer:
         pcfg = self.cfg.get("parallel")
         dp = pcfg.get("dp") if pcfg is not None else None
         tp = int(pcfg.get("tp", 1)) if pcfg is not None else 1
-        self._zero1 = bool(pcfg.get("zero1", False)) if pcfg is not None else False
+        self._fsdp = bool(pcfg.get("fsdp", False)) if pcfg is not None else False
+        # fsdp shards params AND moments over dp (ZeRO-3 superset of ZeRO-1)
+        self._zero1 = self._fsdp or (bool(pcfg.get("zero1", False)) if pcfg is not None else False)
         self.mesh = make_mesh(dp=dp, tp=tp)
         LOGGER.info(
             f"Device mesh: dp={self.mesh.shape['dp']} tp={self.mesh.shape['tp']}"
-            + (" (ZeRO-1 optimizer sharding)" if self._zero1 else "")
+            + (" (fsdp: dp-sharded params+moments)" if self._fsdp else " (ZeRO-1 optimizer sharding)" if self._zero1 else "")
         )
 
     def _setup_logging(self) -> None:
@@ -205,7 +207,7 @@ class Trainer:
             **ckpt_cfg, model_expectations=self._llama_config.checkpoint_expectations
         )
         host_params = self.checkpointer.load_params(self._llama_config, dtype=self.dtype)
-        params = shard_params(self.mesh, host_params)
+        params = shard_params(self.mesh, host_params, fsdp=self._fsdp)
         self.state = {"params": params, "opt_state": None, "step": jnp.zeros((), jnp.int32)}
 
     def _setup_tokenizer(self) -> None:
@@ -327,7 +329,7 @@ class Trainer:
             grad_accum_dtype=accum_dtype,
             state_shardings=(
                 {
-                    "params": param_shardings(self.mesh, self.state["params"]),
+                    "params": param_shardings(self.mesh, self.state["params"], fsdp=self._fsdp),
                     "opt_state": opt_state_shardings(self.mesh, self.state["params"], zero1=True),
                 }
                 if self._zero1

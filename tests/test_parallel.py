@@ -151,18 +151,20 @@ class TestZero1:
         # co-shard a tp dim when it's the only divisible one
         assert _zero1_spec(P(None, "tp"), (3, 16), mesh) == P(None, ("tp", "dp"))
 
-    def test_step_matches_replicated_and_shrinks_moments(self):
+    @pytest.mark.parametrize("mode", ["zero1", "fsdp"])
+    def test_step_matches_replicated_and_shrinks_moments(self, mode):
         from ssi_tpu.parallel import opt_state_shardings, param_shardings
 
         cfg = helpers.tiny_config()
         rng = np.random.default_rng(3)
         tokens = rng.integers(0, cfg.vocab_size, (2, 8, 64)).astype(np.int32)
         out = {}
-        for zero1 in (False, True):
+        for sharded in (False, True):
+            fsdp = sharded and mode == "fsdp"
             mesh = make_mesh(dp=4, tp=2)
-            params = shard_params(mesh, init_params(cfg, jax.random.key(0), dtype=jnp.float32))
+            params = shard_params(mesh, init_params(cfg, jax.random.key(0), dtype=jnp.float32), fsdp=fsdp)
             opt_cfg = AdamWConfig(lr=1e-3, mu_dtype=jnp.float32, nu_dtype=jnp.float32)
-            osh = opt_state_shardings(mesh, params, zero1=zero1)
+            osh = opt_state_shardings(mesh, params, zero1=sharded)
             opt_state = jax.jit(lambda p: init_opt_state(p, opt_cfg), out_shardings=osh)(params)
             state = {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
             step = make_train_step(
@@ -173,17 +175,23 @@ class TestZero1:
                 chunk_size=64,
                 donate=False,
                 state_shardings=(
-                    {"params": param_shardings(mesh, params), "opt_state": osh} if zero1 else None
+                    {"params": param_shardings(mesh, params, fsdp=fsdp), "opt_state": osh}
+                    if sharded
+                    else None
                 ),
             )
             bsh = batch_sharding(mesh)
             new_state, m = step(state, jax.device_put(tokens, bsh), jax.device_put(tokens.copy(), bsh))
-            out[zero1] = (jax.device_get(new_state), float(m["loss_sum"]), int(m["num_tokens"]))
-            if zero1:
+            out[sharded] = (jax.device_get(new_state), float(m["loss_sum"]), int(m["num_tokens"]))
+            if sharded:
                 mu_embed = new_state["opt_state"]["mu"]["embed"]
                 # persistent moment buffer is 1/(dp*tp) per device, dp in the layout
                 assert "dp" in jax.tree.leaves(tuple(mu_embed.sharding.spec))
                 assert mu_embed.addressable_shards[0].data.size * 8 == mu_embed.size
+                if fsdp:
+                    p_embed = new_state["params"]["embed"]
+                    assert "dp" in jax.tree.leaves(tuple(p_embed.sharding.spec))
+                    assert p_embed.addressable_shards[0].data.size * 8 == p_embed.size
 
         assert out[True][2] == out[False][2]  # token accounting identical
         assert out[True][1] == pytest.approx(out[False][1], rel=1e-6)

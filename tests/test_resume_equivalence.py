@@ -286,16 +286,18 @@ def test_resume_equivalence_windowed_packed(model_dir, tmp_path, monkeypatch):
     )
 
 
-def test_resume_zero1_optimizer_sharding(model_dir, tmp_path, monkeypatch):
-    """ZeRO-1 (parallel.zero1): moments dp-sharded on device, math agrees with the
-    replicated run (fp reduction-order tolerance), and an interrupted run resumes
-    bitwise — save gathers the shards, restore re-places them onto the dp layout."""
+@pytest.mark.parametrize("knob", ["zero1", "fsdp"])
+def test_resume_zero1_optimizer_sharding(model_dir, tmp_path, monkeypatch, knob):
+    """ZeRO-1 / FSDP (parallel.zero1 / parallel.fsdp): moments (and, under fsdp,
+    params) dp-sharded on device, math agrees with the replicated run (fp
+    reduction-order tolerance), and an interrupted run resumes bitwise — save
+    gathers the shards, restore re-places them onto the dp layout."""
     import jax
 
     from ssi_tpu.checkpoint import TRAINING_STATE_FNAME
 
     _patch_data(monkeypatch)
-    z1 = {"parallel": {"dp": 2, "tp": 2, "zero1": True}}  # sft batch_size=2 -> dp<=2
+    z1 = {"parallel": {"dp": 2, "tp": 2, knob: True}}  # sft batch_size=2 -> dp<=2
 
     _, losses_repl, _ = run_trainer(model_dir, tmp_path / "repl", TOTAL_STEPS, mesh=(2, 2))
     t1, losses_z, _ = run_trainer(model_dir, tmp_path / "z", TOTAL_STEPS, extra_cfg=z1)
@@ -303,6 +305,12 @@ def test_resume_zero1_optimizer_sharding(model_dir, tmp_path, monkeypatch):
     mu_embed = t1.state["opt_state"]["mu"]["embed"]
     assert "dp" in jax.tree.leaves(tuple(mu_embed.sharding.spec))
     assert mu_embed.addressable_shards[0].data.size < mu_embed.size
+    p_embed = t1.state["params"]["embed"]
+    if knob == "fsdp":
+        assert "dp" in jax.tree.leaves(tuple(p_embed.sharding.spec))
+        assert p_embed.addressable_shards[0].data.size < p_embed.size
+    else:
+        assert "dp" not in jax.tree.leaves(tuple(p_embed.sharding.spec))
 
     for got, want in zip(losses_z, losses_repl):
         assert got == pytest.approx(want, rel=1e-5)
