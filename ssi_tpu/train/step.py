@@ -122,6 +122,7 @@ def make_train_step(
     grad_accum_dtype=jnp.float32,
     donate: bool = True,
     state_shardings: dict | None = None,
+    accum_unroll: int = 1,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict[str, jnp.ndarray]]]:
     """Build the jitted optimizer-step function.
 
@@ -168,8 +169,13 @@ def make_train_step(
                 return (g_acc, loss_acc + loss_sum, ntok_acc + num_tokens), None
 
             g_init = jax.tree.map(lambda p: jnp.zeros(p.shape, grad_accum_dtype), params)
+            # accum_unroll > 1 lets XLA fuse consecutive micro-batch adds into one
+            # accumulator read/write pass (halves the g_acc HBM traffic at 2).
             (grads, loss_sum, num_tokens), _ = jax.lax.scan(
-                micro, (g_init, jnp.float32(0.0), jnp.int32(0)), (tokens, labels, segment_ids, positions)
+                micro,
+                (g_init, jnp.float32(0.0), jnp.int32(0)),
+                (tokens, labels, segment_ids, positions),
+                unroll=accum_unroll,
             )
 
         # Scale by 1/num_tokens_step (ref: ssi/trainer.py:404); guard div-by-zero.
