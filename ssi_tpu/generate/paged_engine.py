@@ -610,7 +610,6 @@ class PagedDecodeEngine:
         t_q = self.speculate_k + 1
         w = self.max_context
         bucket = self.prompt_bucket
-        max_tok = sp.max_tokens
         n_chunk = self.chunk
 
         from ssi_tpu.generate.paged import decode_step_tokens_spec
@@ -625,10 +624,18 @@ class PagedDecodeEngine:
             done = jnp.where(admit, False, done)
             # speculative streams are greedy-only: sampling columns 6:13 unused
             page_table = control[:, _N_CTRL_COLS:]
-            # per-slot hard write bound (mirrors the host's page provisioning
-            # cap): candidates at/beyond it land on the trash page
+            # Per-slot hard write bound, mirroring the host's page provisioning
+            # cap (step(): max(round_up(prompt, bucket), prompt + req.max_tokens)):
+            # candidates at/beyond it land on the trash page. The PER-REQUEST
+            # budget must be used — a request admitted with max_tokens below the
+            # stream's gets fewer pages provisioned, and a stream-level cap here
+            # would let draft K/V write through stale page-table entries into
+            # pages owned by other live requests. seq_lens + budget is invariant
+            # across spec steps (+n_emit / -n_emit), and at admission
+            # seq_lens = prompt - 1, budget = req.max_tokens, so
+            # prompt + req.max_tokens == seq_lens + budget + 1 at every step.
             cap = jnp.minimum(
-                jnp.maximum(((prompt_lens + bucket - 1) // bucket) * bucket, prompt_lens + max_tok), w
+                jnp.maximum(((prompt_lens + bucket - 1) // bucket) * bucket, seq_lens + budget + 1), w
             )
             n_slots = tok.shape[0]
             rows = jnp.arange(n_slots)

@@ -177,6 +177,13 @@ def _kernel(
             @pl.when(b + 1 < n_slots)
             def _prefetch_next():
                 issue_slot(b + 1, jax.lax.rem(b + 1, n_buf))
+        else:
+            # single-buffer mode (long max_context): no cross-slot overlap —
+            # every program issues its OWN pages at entry (slot 0's were issued
+            # by _first; without this, b >= 1 would wait on never-started DMAs).
+            @pl.when(b > 0)
+            def _issue_own():
+                issue_slot(b, cur)
 
         def wait_one(i, _):
             sems_wait_k = pltpu.make_async_copy(
@@ -519,6 +526,11 @@ def _kernel_multi(
             @pl.when(b + 1 < n_slots)
             def _prefetch_next():
                 issue_slot(b + 1, jax.lax.rem(b + 1, n_buf))
+        else:
+            # single-buffer fallback: issue own pages (see single-token kernel)
+            @pl.when(b > 0)
+            def _issue_own():
+                issue_slot(b, cur)
 
         def wait_one(i, _):
             pltpu.make_async_copy(

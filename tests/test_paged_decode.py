@@ -1391,3 +1391,92 @@ def test_admission_order_rejects_unknown(setup):
     cfg, params = setup
     with pytest.raises(ValueError, match="admission_order"):
         make_engine(params, cfg, admission_order="lifo")
+
+
+def test_spec_decode_per_request_budget_no_cross_corruption(setup):
+    """The device-side draft-write cap must use the PER-REQUEST token budget.
+
+    A spec request admitted with max_tokens far below the stream's gets pages
+    provisioned only up to prompt + its own budget; a stream-level device cap
+    would let draft K/V write through the slot's stale page-table tail
+    (entries left by the slot's previous occupant, re-allocated to concurrent
+    requests) and corrupt a neighbor's KV pages. Choreography: a long request
+    warms slot page-table tails, then short-budget requests share the stream
+    with long-budget victims; every output must equal the sequential oracle.
+    """
+    cfg, params = setup
+    rng = np.random.default_rng(23)
+    engine = make_engine(params, cfg, n_slots=2, speculate_k=3, n_pages=18)
+    sp = SamplingParams(temperature=0.0, max_tokens=40, stop_token_ids=())
+
+    engine.begin_stream(sp)
+    # wave 1: fill both slots' page-table rows deep (prompt 17 + 40 tokens
+    # -> cap 57 -> 8 pages of 8), then let them finish and free their pages
+    long_prompts = [rng.integers(0, cfg.vocab_size, 17).tolist() for _ in range(2)]
+    ids = [engine.add_request(p) for p in long_prompts]
+    # wave 2: short-budget requests (stale tail beyond 2 provisioned pages)
+    # interleaved with full-budget victims whose pages reuse wave 1's frees
+    short_prompts = [rng.integers(0, cfg.vocab_size, 9).tolist() for _ in range(2)]
+    victim_prompts = [rng.integers(0, cfg.vocab_size, 11).tolist() for _ in range(2)]
+    ids += [engine.add_request(short_prompts[0], max_tokens=3)]
+    ids += [engine.add_request(victim_prompts[0])]
+    ids += [engine.add_request(short_prompts[1], max_tokens=2)]
+    ids += [engine.add_request(victim_prompts[1])]
+    done = {}
+    for _ in range(400):
+        for rec in engine.step():
+            done[rec["request_id"]] = rec["outputs"][0]
+        if len(done) == len(ids):
+            break
+    engine.end_stream()
+
+    want = {
+        0: (long_prompts[0], 40), 1: (long_prompts[1], 40),
+        2: (short_prompts[0], 3), 3: (victim_prompts[0], 40),
+        4: (short_prompts[1], 2), 5: (victim_prompts[1], 40),
+    }
+    assert len(done) == len(ids)
+    for rid, (prompt, mt) in want.items():
+        assert done[rid]["token_ids"] == naive_greedy(params, cfg, prompt, mt), f"rid {rid}"
+    assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
+
+
+def test_spec_decode_stale_page_table_tail_never_written(setup):
+    """Draft K/V writes must stop at the PER-REQUEST provisioning cap.
+
+    A slot's host page-table row keeps stale tail entries from its previous
+    occupant; pages they point at may belong to another live request. The
+    first verify step writes T=8 draft positions from prompt-1, so a request
+    with max_tokens=1 (2 provisioned pages) reaches positions 16..21 — page
+    index 2, a stale entry here pointed at a sentinel-filled page. A device
+    cap derived from the STREAM budget (40) would write through it.
+    """
+    import jax
+
+    cfg, params = setup
+    engine = make_engine(params, cfg, n_slots=1, speculate_k=7, n_pages=10)
+    sp = SamplingParams(temperature=0.0, max_tokens=40, stop_token_ids=())
+
+    victim = 7  # owned by "someone else": out of the free list, sentinel-filled
+    engine._free_pages.remove(victim)
+    rows = jnp.asarray([l * engine.n_pages + victim for l in range(cfg.num_layers)])
+    for key in ("k", "v"):
+        engine.pools[key] = engine.pools[key].at[rows].set(7.0)
+    engine._page_table[0, 2:] = victim  # stale tail beyond the 2 provisioned pages
+
+    engine.begin_stream(sp)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, cfg.vocab_size, 15).tolist()
+    rid = engine.add_request(prompt, max_tokens=1)  # cap = max(16, 15+1) = 16
+    done = {}
+    for _ in range(50):
+        for rec in engine.step():
+            done[rec["request_id"]] = rec["outputs"][0]
+        if done:
+            break
+    engine.end_stream()
+
+    assert done[rid]["token_ids"] == naive_greedy(params, cfg, prompt, 1)
+    for key in ("k", "v"):
+        got = np.asarray(jax.device_get(engine.pools[key]))[np.asarray(rows)]
+        assert np.all(got == 7.0), f"{key} pool: stale-table page written past the request cap"
