@@ -1412,23 +1412,30 @@ class PagedDecodeEngine:
             self._dispatch_suffix(rows[idx : idx + g], sb, with_hist=True)
             idx += g
         if hist_only and self.speculate_k > 0:
-            todo_h = list(hist_only)
-            while todo_h:
-                g = next(s for s in self.PREFILL_GROUPS if s <= len(todo_h))
-                batch, todo_h = todo_h[:g], todo_h[g:]
-                f_bucket = max(
-                    _round_up(len(self._slots[sid].req.prompt), self.prompt_bucket)
-                    for sid in batch
-                )
-                tokens = np.full((g, f_bucket), self.pad_id, np.int32)
-                slot_ids = np.full((g,), self.n_slots, np.int32)
-                for r, sid in enumerate(batch):
-                    prm = self._slots[sid].req.prompt
-                    tokens[r, : len(prm)] = prm
-                    slot_ids[r] = sid
-                st.hist = self._hist_fill_fn(f_bucket, g)(
-                    st.hist, jnp.asarray(tokens), jnp.asarray(slot_ids)
-                )
+            self._fill_hist(list(hist_only))
+
+    def _fill_hist(self, slot_ids: list[int]) -> None:
+        """Seed the n-gram drafter's history rows with the slots' prompts
+        (speculative mode), grouped under the same compile-key buckets as
+        prefill."""
+        st = self._st
+        todo = slot_ids
+        while todo:
+            g = next(s for s in self.PREFILL_GROUPS if s <= len(todo))
+            batch, todo = todo[:g], todo[g:]
+            f_bucket = max(
+                _round_up(len(self._slots[sid].req.prompt), self.prompt_bucket)
+                for sid in batch
+            )
+            tokens = np.full((g, f_bucket), self.pad_id, np.int32)
+            ids = np.full((g,), self.n_slots, np.int32)
+            for r, sid in enumerate(batch):
+                prm = self._slots[sid].req.prompt
+                tokens[r, : len(prm)] = prm
+                ids[r] = sid
+            st.hist = self._hist_fill_fn(f_bucket, g)(
+                st.hist, jnp.asarray(tokens), jnp.asarray(ids)
+            )
 
     def _suffix_span(self, row: tuple[int, int, int]) -> int:
         """Padded token span of a suffix/piece row ``(slot_id, start, end)``
@@ -1572,23 +1579,7 @@ class PagedDecodeEngine:
             st.admit_budget[sid] = req.max_tokens if req.max_tokens is not None else st.sp.max_tokens
             st.prompt_lens[sid] = p
         if completed and self.speculate_k > 0:
-            todo_h = completed
-            while todo_h:
-                g = next(x for x in self.PREFILL_GROUPS if x <= len(todo_h))
-                batch, todo_h = todo_h[:g], todo_h[g:]
-                f_bucket = max(
-                    _round_up(len(self._slots[sid].req.prompt), self.prompt_bucket)
-                    for sid in batch
-                )
-                tokens = np.full((g, f_bucket), self.pad_id, np.int32)
-                slot_ids = np.full((g,), self.n_slots, np.int32)
-                for r, sid in enumerate(batch):
-                    prm = self._slots[sid].req.prompt
-                    tokens[r, : len(prm)] = prm
-                    slot_ids[r] = sid
-                st.hist = self._hist_fill_fn(f_bucket, g)(
-                    st.hist, jnp.asarray(tokens), jnp.asarray(slot_ids)
-                )
+            self._fill_hist(completed)
 
     def _collect(
         self, slot_id: int, *, keep_tokens: int | None = None, finish_reason: str | None = None

@@ -72,6 +72,7 @@ class _Pending:
     # host-cancels the request at the first match (engine.cancel_request)
     stop: tuple = ()
     stop_text: str | None = None   # decoded output truncated AT the stop match
+    scan_from: int = 0             # tokens already stop-scanned (see scan_stops)
     rid: int | None = None         # engine request id (set at admission)
     aborted: bool = False          # client disconnected; cancel instead of admit
     # streaming: the scheduler pushes newly-harvested token-id deltas here and
@@ -110,13 +111,21 @@ class Server:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
+        self._start_error: Exception | None = None
         self._n_requests = 0
 
     # --- scheduler thread ----------------------------------------------------------
 
     def _loop(self) -> None:
         eng = self.engine
-        eng.begin_stream(self.sp, features=self.features)
+        try:
+            eng.begin_stream(self.sp, features=self.features)
+        except Exception as e:
+            # surface config errors (bad feature names, invalid sp, spec-mode
+            # sampling) to start() instead of leaving it waiting forever
+            self._start_error = e
+            self._started.set()
+            return
         self._started.set()
         by_id: dict[int, _Pending] = {}
         restarts = 0
@@ -162,8 +171,30 @@ class Server:
 
         def scan_stops(pend: _Pending, req: Any) -> None:
             """Mid-run stop-string check: host-cancel at the first match so the
-            slot frees immediately instead of decoding to the budget."""
-            k = stop_cut(pend, req.out)
+            slot frees immediately instead of decoding to the budget.
+
+            Incremental: only the unscanned tail (plus a char-aligned backoff of
+            maxlen(stop)-1 chars for matches straddling the boundary) is decoded
+            each pass — a from-scratch decode per pass is O(n^2) in the
+            scheduler thread over a long generation. Exact for byte-level BPE:
+            decode(out[j:]) with no leading U+FFFD is the char suffix of the
+            full text. A tail hit falls back to the exact global cut once."""
+            out = req.out
+            start = pend.scan_from
+            pend.scan_from = len(out)
+            if start > 0:
+                hb = max(len(s) for s in pend.stop) - 1
+                j = start
+                while j > 0:
+                    t = self.tokenizer.decode(out[j:start])
+                    if len(t) >= hb and not t.startswith("�"):
+                        break
+                    j -= 1
+            else:
+                j = 0
+            if not any(s in self.tokenizer.decode(out[j:]) for s in pend.stop):
+                return
+            k = stop_cut(pend, out)
             if k is not None:
                 eng.cancel_request(pend.rid, keep_tokens=k, finish_reason="stop")
 
@@ -247,7 +278,11 @@ class Server:
                         pend = self._cancels.get_nowait()
                     except queue.Empty:
                         break
-                    if pend.rid is not None and pend.rid in by_id:
+                    # identity check, not just rid membership: engine request
+                    # ids restart from 0 on a stream restart, so a stale cancel
+                    # queued before a restart must not abort the unrelated new
+                    # request that now holds the same rid
+                    if pend.rid is not None and by_id.get(pend.rid) is pend:
                         eng.cancel_request(pend.rid, finish_reason="abort")
                 # stop strings + streamed-token pushes over the running slots
                 if any(p.stop or p.stream for p in by_id.values()):
@@ -286,9 +321,12 @@ class Server:
                 pend.event.set()
 
     def start(self) -> None:
+        self._start_error = None
         self._thread = threading.Thread(target=self._loop, name="ssi-serve-scheduler", daemon=True)
         self._thread.start()
         self._started.wait()
+        if self._start_error is not None:
+            raise self._start_error
 
     def stop(self) -> None:
         self._stop.set()
@@ -313,6 +351,9 @@ class Server:
         self._q.put(pend)
         if not pend.event.wait(timeout=timeout_s):
             pend.error = "timed out"
+            # free the slot: without this the engine keeps decoding to the full
+            # budget for a client that already got the timeout response
+            self.cancel(pend)
         self._n_requests += 1
         return pend
 
@@ -352,6 +393,30 @@ class Server:
             n_pages=eng.n_pages,
         )
         return stats
+
+
+class _IncrementalDecoder:
+    """Streaming detokenizer: decoding each token-id delta independently splits
+    multi-byte UTF-8 characters spanning a harvest boundary into U+FFFD mojibake.
+    Decode the full prefix instead and emit only the newly-stable text, holding
+    back trailing replacement chars (an incomplete byte sequence the next delta
+    completes; genuinely-invalid trailing bytes at stream end stay held back —
+    the OpenAI/vLLM streaming convention)."""
+
+    def __init__(self, tokenizer: Any):
+        self.tokenizer = tokenizer
+        self.ids: list[int] = []
+        self.sent_chars = 0
+
+    def push(self, ids: list[int]) -> str:
+        self.ids.extend(ids)
+        full = self.tokenizer.decode(self.ids)
+        stable = len(full)
+        while stable > self.sent_chars and full[stable - 1] == "�":
+            stable -= 1
+        new = full[self.sent_chars : stable]
+        self.sent_chars = stable
+        return new
 
 
 def _make_handler(server: Server):
@@ -398,6 +463,11 @@ def _make_handler(server: Server):
                 self.wfile.write(b"data: " + json.dumps(obj_).encode() + b"\n\n")
                 self.wfile.flush()
 
+            dec = _IncrementalDecoder(server.tokenizer)
+
+            def delta_text(ids: list[int]) -> str | None:
+                return dec.push(ids) if server.tokenizer is not None else None
+
             try:
                 if chat:  # conventional first chunk carrying the role
                     emit({"id": cid, "object": obj, "model": server.model_id,
@@ -408,6 +478,7 @@ def _make_handler(server: Server):
                         delta = pend.deltas.get(timeout=600)
                     except queue.Empty:
                         pend.error = "timed out"
+                        server.cancel(pend)  # free the slot for live clients
                         break
                     if delta is None:
                         break
@@ -415,7 +486,7 @@ def _make_handler(server: Server):
                         text, ids = delta, []
                     else:
                         ids = delta
-                        text = server.tokenizer.decode(delta) if server.tokenizer is not None else None
+                        text = delta_text(delta)
                     if chat:
                         choice = {"index": 0, "delta": {"content": text},
                                   "token_ids": ids, "finish_reason": None}
@@ -425,24 +496,26 @@ def _make_handler(server: Server):
                             choice["text"] = text
                     emit({"id": cid, "object": obj, "model": server.model_id,
                           "choices": [choice]})
+                if pend.error is not None:
+                    emit({"id": cid, "error": {"message": pend.error}})
+                else:
+                    out = pend.outputs[0]
+                    final = {"index": 0, "finish_reason": out["finish_reason"]}
+                    if chat:
+                        final["delta"] = {}
+                    else:
+                        final["token_ids"] = []
+                    emit({"id": cid, "object": obj, "model": server.model_id,
+                          "choices": [final],
+                          "usage": {"prompt_tokens": len(tokens),
+                                    "completion_tokens": len(out["token_ids"])}})
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
             except (BrokenPipeError, ConnectionResetError):
+                # the client can vanish at any point, including between the last
+                # content delta and [DONE] — abort quietly either way
                 server.cancel(pend)
                 return
-            if pend.error is not None:
-                emit({"id": cid, "error": {"message": pend.error}})
-            else:
-                out = pend.outputs[0]
-                final = {"index": 0, "finish_reason": out["finish_reason"]}
-                if chat:
-                    final["delta"] = {}
-                else:
-                    final["token_ids"] = []
-                emit({"id": cid, "object": obj, "model": server.model_id,
-                      "choices": [final],
-                      "usage": {"prompt_tokens": len(tokens),
-                                "completion_tokens": len(out["token_ids"])}})
-            self.wfile.write(b"data: [DONE]\n\n")
-            self.wfile.flush()
 
         def do_POST(self):
             chat = self.path == "/v1/chat/completions"
@@ -497,7 +570,9 @@ def _make_handler(server: Server):
                     raise ValueError("stop strings need a tokenizer")
                 if stop and n != 1:
                     raise ValueError("stop strings require sampling n == 1")
-            except (ValueError, json.JSONDecodeError) as e:
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
+                # TypeError covers non-numeric JSON values in the casts above
+                # (e.g. "temperature": [0.5]) — a 400, not a handler crash
                 self._json(400, {"error": {"message": str(e), "type": "invalid_request_error"}})
                 return
 

@@ -486,3 +486,62 @@ def test_chat_completions_validation(server, chat_server):
     ):
         code, body = _post(churl, "/v1/chat/completions", bad)
         assert code == 400, bad
+
+
+def test_start_surfaces_begin_stream_error(setup):
+    """A scheduler thread that dies in begin_stream must raise from start(),
+    not leave it waiting on the started-event forever."""
+    cfg, params = setup
+    engine = make_engine(params, cfg, speculate_k=2)  # greedy-only mode
+    sp = SamplingParams(temperature=0.7, max_tokens=4, stop_token_ids=())
+    srv = Server(engine, sp, model_id="bad")
+    with pytest.raises(ValueError, match="greedy"):
+        srv.start()
+
+
+def test_incremental_decoder_repairs_split_utf8():
+    """A multi-byte character split across two deltas streams as the real
+    character once complete, never as U+FFFD mojibake."""
+    from ssi_tpu.serve import _IncrementalDecoder
+
+    class ByteTok:
+        def decode(self, ids):
+            return bytes(ids).decode("utf-8", errors="replace")
+
+    dec = _IncrementalDecoder(ByteTok())
+    payload = "héllo 🦜!".encode()
+    # worst case: one byte per delta
+    text = "".join(dec.push([b]) for b in payload)
+    assert text == "héllo 🦜!"
+    # split exactly at the emoji's 4-byte boundary, two bytes per delta
+    dec2 = _IncrementalDecoder(ByteTok())
+    chunks = [list(payload[i : i + 2]) for i in range(0, len(payload), 2)]
+    text2 = "".join(dec2.push(c) for c in chunks)
+    assert text2 == "héllo 🦜!"
+    # genuinely invalid trailing byte stays held back (OpenAI convention)
+    dec3 = _IncrementalDecoder(ByteTok())
+    assert dec3.push(list("ab".encode()) + [0xFF]) == "ab"
+
+
+def test_submit_timeout_cancels_request(setup):
+    """A timed-out submit frees the engine slot instead of decoding the full
+    budget for a dead client."""
+    cfg, params = setup
+    engine = make_engine(params, cfg, n_slots=2, max_context=64)
+    sp = SamplingParams(temperature=0.0, max_tokens=40, stop_token_ids=())
+    srv = Server(engine, sp, model_id="t")
+    srv.start()
+    try:
+        pend = srv.submit([1, 2, 3], None, timeout_s=0.0)  # expires immediately
+        assert pend.error == "timed out"
+        # the scheduler must cancel it and return the slot + pages
+        for _ in range(100):
+            if all(s.req is None for s in engine._slots) and not srv._q.qsize():
+                break
+            import time as _t
+
+            _t.sleep(0.05)
+        assert all(s.req is None for s in engine._slots)
+        assert len(engine._free_pages) + len(engine._cache_lru) == engine.n_pages
+    finally:
+        srv.stop()
