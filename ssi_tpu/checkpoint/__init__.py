@@ -60,8 +60,10 @@ LOGGER = logging.getLogger(__name__)
 SAFETENSOR_INDEX_FNAME = "model.safetensors.index.json"
 SHARD_FNAME = "ft-model-{cpt_idx}-of-{num_shards}"
 TRAINING_STATE_FNAME = "training_state.msgpack"
-# file suffixes never copied into step_N dirs (weights and derived artifacts)
-SUFFIXES_TO_NOT_COPY = (".safetensors", ".bin", ".pt", ".msgpack", ".index.json", ".lock", ".tmp")
+# file suffixes never copied into step_N dirs (weights and derived artifacts;
+# .pth covers original/consolidated.00.pth in stock Meta downloads — 2.4 GB
+# that would otherwise be duplicated into EVERY step dir)
+SUFFIXES_TO_NOT_COPY = (".safetensors", ".bin", ".pt", ".pth", ".msgpack", ".index.json", ".lock", ".tmp")
 
 
 def _safetensors_backend():
@@ -105,8 +107,15 @@ def validate_checkpoint_dir(
     checkpoint_dir: Path,
     config: dict[str, Any],
     expectations: ModelCheckpointExpectations | None = None,
+    checkpoint_files: list[str] | None = None,
 ) -> None:
-    """Non-destructive structural checks before any weights are loaded."""
+    """Non-destructive structural checks before any weights are loaded.
+
+    ``checkpoint_files``: the shard set that will actually be loaded. When the
+    caller passed an explicit list (the documented escape hatch for a dir
+    holding BOTH base and fine-tuned shards), the shard-count expectation is
+    checked against that list, not against every ``*.safetensors`` in the dir.
+    """
     if not config:
         raise ValueError(f"config.json in {checkpoint_dir} is empty or could not be parsed.")
 
@@ -125,7 +134,10 @@ def validate_checkpoint_dir(
     if expectations is None:
         return
 
-    n_shards = len(sorted(checkpoint_dir.glob("*.safetensors")))
+    if checkpoint_files is not None:
+        n_shards = len(checkpoint_files)
+    else:
+        n_shards = len(sorted(checkpoint_dir.glob("*.safetensors")))
     if n_shards != expectations.n_shards:
         raise ValueError(
             f"Expected {expectations.n_shards} model shard(s) for {expectations.model_name} but found "
@@ -302,9 +314,13 @@ class Checkpointer:
             raise FileNotFoundError(f"No config.json found at {config_json} — expected an HF-format model directory.")
         self._config = json.loads(config_json.read_text())
 
+        explicit = checkpoint_files is not None
         if checkpoint_files is None:
             checkpoint_files = discover_safetensor_files(self.checkpoint_dir)
-        validate_checkpoint_dir(self.checkpoint_dir, self._config, model_expectations)
+        validate_checkpoint_dir(
+            self.checkpoint_dir, self._config, model_expectations,
+            checkpoint_files=checkpoint_files if explicit else None,
+        )
         self._checkpoint_paths = sorted(self.checkpoint_dir / f for f in checkpoint_files)
         for p in self._checkpoint_paths:
             if not p.is_file():

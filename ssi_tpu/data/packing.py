@@ -190,12 +190,14 @@ class WindowedPackedDataset:
       needs checkpointing** — resume-by-index is exact by construction, the
       same stateless-data design the reference chose for CPT interleaving
       (ref: plans/Checkpointing - Consolidated Plan.md §D6).
-    - Every window is clamped/cycled to the pack count ``P`` of window 0 at
-      epoch 0 (the calibration window), making ``len(self)`` a constant
-      ``n_windows * P`` — required by TrainingGeometry's steps_per_epoch and
-      by the resume arithmetic. With hundreds of samples per window the
-      per-window pack-count deviation is ~1/sqrt(window), so clamp waste and
-      cycle duplication stay in the low percent.
+    - Every full window is clamped/cycled to the pack count ``P`` of window 0
+      at epoch 0 (the calibration window); the final window, if partial, gets
+      a PRORATED quota ``round(P * tail/window)`` and always iterates last.
+      ``len(self)`` is the constant ``(n_windows-1)*P + P_tail`` — required by
+      TrainingGeometry's steps_per_epoch and by the resume arithmetic. With
+      hundreds of samples per window the per-window pack-count deviation is
+      ~1/sqrt(window), so clamp waste and cycle duplication stay in the low
+      percent for full AND partial windows alike.
     - Only the most recently packed windows are cached (O(window) memory).
 
     Shuffling: global index shuffling would touch a different window every
@@ -240,10 +242,19 @@ class WindowedPackedDataset:
         if not calibration:
             raise ValueError("Calibration window packed to zero rows (empty dataset?)")
         self.packs_per_window = len(calibration)
+        # The final window may be partial (len % window samples). Prorate its
+        # pack quota instead of cycling its few samples up to a full window's
+        # share — at 2049 samples / window 2048 the tail would otherwise
+        # duplicate ONE sample into half the epoch's tokens.
+        tail_samples = len(dataset) - (self.n_windows - 1) * self.window
+        if self.n_windows > 1 and tail_samples < self.window:
+            self.packs_tail = max(1, round(self.packs_per_window * tail_samples / self.window))
+        else:
+            self.packs_tail = self.packs_per_window
         self._cache[(0, 0)] = calibration
         LOGGER.info(
             f"Windowed packing: {len(dataset)} samples, {self.n_windows} windows of {self.window}, "
-            f"{self.packs_per_window} packs/window (calibrated), len={len(self)}"
+            f"{self.packs_per_window} packs/window (calibrated), tail {self.packs_tail}, len={len(self)}"
         )
 
     def set_epoch(self, epoch: int) -> None:
@@ -254,7 +265,10 @@ class WindowedPackedDataset:
             self._cache.clear()
 
     def __len__(self) -> int:
-        return self.n_windows * self.packs_per_window
+        return (self.n_windows - 1) * self.packs_per_window + self.packs_tail
+
+    def _quota(self, w: int) -> int:
+        return self.packs_tail if w == self.n_windows - 1 else self.packs_per_window
 
     def _pack_window(self, w: int) -> list[dict[str, np.ndarray]]:
         lo = w * self.window
@@ -274,12 +288,13 @@ class WindowedPackedDataset:
             packs = self._pack_window(w)
             if not packs:
                 raise ValueError(f"Window {w} (epoch {self._epoch}) packed to zero rows")
-            if len(packs) > self.packs_per_window:
-                packs = packs[: self.packs_per_window]
-            elif len(packs) < self.packs_per_window:
+            quota = self._quota(w)
+            if len(packs) > quota:
+                packs = packs[:quota]
+            elif len(packs) < quota:
                 base = list(packs)
                 i = 0
-                while len(packs) < self.packs_per_window:  # cycle distinct packs
+                while len(packs) < quota:  # cycle distinct packs
                     packs.append(base[i % len(base)])
                     i += 1
             if len(self._cache) >= self._CACHE_WINDOWS:
@@ -291,10 +306,21 @@ class WindowedPackedDataset:
         index = int(index)
         if not 0 <= index < len(self):
             raise IndexError(index)
-        q, r = divmod(index, self.packs_per_window)
+        # the (possibly prorated) tail window is always LAST in iteration
+        # order — uniform divmod indexing for the rest, shuffled or not
+        tail_start = (self.n_windows - 1) * self.packs_per_window
+        if index >= tail_start:
+            q, r = self.n_windows - 1, index - tail_start
+        else:
+            q, r = divmod(index, self.packs_per_window)
         if self.shuffle:
             if self._perm_epoch != self._epoch:
-                self._window_perm = np.random.default_rng((self.seed, self._epoch)).permutation(self.n_windows)
+                # permute the full windows; the partial tail stays last so the
+                # per-position window size is independent of the permutation
+                self._window_perm = np.concatenate([
+                    np.random.default_rng((self.seed, self._epoch)).permutation(self.n_windows - 1),
+                    np.asarray([self.n_windows - 1], dtype=np.int64),
+                ])
                 self._offset_perms = {}
                 self._perm_epoch = self._epoch
             w = int(self._window_perm[q])
@@ -303,7 +329,7 @@ class WindowedPackedDataset:
                     self._offset_perms.clear()
                 self._offset_perms[w] = np.random.default_rng(
                     (self.seed, self._epoch, w)
-                ).permutation(self.packs_per_window)
+                ).permutation(self._quota(w))
             r = int(self._offset_perms[w][r])
         else:
             w = q

@@ -155,6 +155,11 @@ def run_generation(cfg: Any) -> Path:
             admission_order=str(cfg.get("admission_order", "fifo") or "fifo"),
         )
     elif engine_kind == "dense":
+        if int(cfg.get("tensor_parallel", 1) or 1) > 1:
+            raise ValueError(
+                "tensor_parallel > 1 requires engine=paged (the dense engine runs "
+                "single-device; silently ignoring the mesh would under-use the slice)"
+            )
         engine = DecodeEngine(params, model_cfg, pad_id=tokenizer.pad_id)
     else:
         raise ValueError(f"Unknown engine {engine_kind!r}; expected 'paged' or 'dense'")

@@ -106,7 +106,8 @@ def _sample(logits, sp: SamplingParams, key, out_counts, prompt_counts):
         return tok, key, logprob_of(tok)
 
     lp_logits = logits  # logprob point: before top-k/p truncation
-    if sp.top_k > 0:
+    if 0 < sp.top_k < logits.shape[-1]:
+        # top_k >= vocab is "disabled" (vLLM semantics), not an index error
         kth = jnp.sort(logits, axis=-1)[:, -sp.top_k][:, None]
         logits = jnp.where(logits < kth, _NEG_INF, logits)
     if sp.top_p < 1.0:

@@ -362,8 +362,19 @@ class Trainer:
         for epoch in range(epochs_run, self.geometry.n_epochs):
             self._train_epoch(epoch, batches_to_skip if epoch == epochs_run else 0)
             if self.global_step >= self.cfg.max_steps:
+                self._save_final_checkpoint()
                 LOGGER.info("Training completed.")
                 return
+        self._save_final_checkpoint()
+
+    def _save_final_checkpoint(self) -> None:
+        """Save the run's end state when max_steps isn't a save_steps multiple —
+        otherwise up to save_steps-1 steps of progress (the run's end product)
+        would silently be discarded. (The reference never reaches max_steps —
+        its runs die on the Slurm limit and resume — so it has no such save.)"""
+        if self.global_step != 0 and self.global_step % self.cfg.save_steps != 0:
+            self.save_checkpoint()
+            LOGGER.info(f"Final checkpoint saved at step {self.global_step}")
 
     def _train_epoch(self, epoch: int, batches_to_skip: int = 0) -> None:
         if self.sampler_train is not None:
@@ -621,6 +632,10 @@ class Trainer:
         import shutil
 
         root = Path(self.cfg.checkpointer.output_dir)
+        # the dir training loaded from is the source every save copies configs
+        # out of — pruning it (e.g. resuming from an older step_N in this same
+        # output dir) would crash every subsequent save
+        src_dir = Path(self.cfg.checkpointer.checkpoint_dir).resolve()
         step_dirs = []
         for p in root.glob("step_*"):
             try:
@@ -629,7 +644,7 @@ class Trainer:
                 continue
         step_dirs.sort(reverse=True)
         for step_num, p in step_dirs[int(keep_n):]:
-            if step_num == keep_step:
+            if step_num == keep_step or p.resolve() == src_dir:
                 continue
             shutil.rmtree(p, ignore_errors=True)
             LOGGER.info(f"Pruned old checkpoint {p} (keep_last_n_checkpoints={keep_n})")

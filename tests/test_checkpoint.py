@@ -215,3 +215,40 @@ def test_orbax_save_overwrites_stale_uncommitted_dir(tmp_path):
     marker2 = save_opt_state(opt_state2, tmp_path, step=7)
     assert marker2 == marker
     assert len(list(tmp_path.glob(f"{_DIR_PREFIX}*"))) == 1
+
+
+def test_pth_weights_not_copied_into_step_dirs(tmp_path):
+    """original/consolidated.00.pth (2.4 GB in a stock Meta download) must not
+    be duplicated into every step_N dir."""
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    (model_dir / "original" / "consolidated.00.pth").write_bytes(b"\x00" * 64)
+    cfg = helpers.tiny_config()
+    ckptr = Checkpointer(checkpoint_dir=model_dir, output_dir=tmp_path / "out")
+    params = ckptr.load_params(cfg, dtype="float32")
+    step_dir = ckptr.save_model_checkpoint(params, cfg, global_step=1)
+    assert (step_dir / "original" / "tokenizer.model").exists()  # configs copied
+    assert not (step_dir / "original" / "consolidated.00.pth").exists()
+
+
+def test_explicit_checkpoint_files_disambiguate_mixed_dir(tmp_path):
+    """A dir holding BOTH base and ft shards: auto-discovery refuses with an
+    instruction to pass checkpoint_files; doing so must actually work even
+    with model_expectations (shard count checked against the explicit list)."""
+    import shutil
+
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    plain = next(model_dir.glob("*.safetensors"))
+    ft = model_dir / "ft-model-00001-of-00001.safetensors"
+    plain.rename(ft)
+    shutil.copy(ft, model_dir / "model-00001-of-00001.safetensors")  # fake base shard
+    cfg = helpers.tiny_config()
+    with pytest.raises(ValueError, match="checkpoint_files"):
+        Checkpointer(checkpoint_dir=model_dir, output_dir=tmp_path / "out")
+    ckptr = Checkpointer(
+        checkpoint_dir=model_dir,
+        output_dir=tmp_path / "out",
+        checkpoint_files=[ft.name],
+        model_expectations=cfg.checkpoint_expectations,
+    )
+    params = ckptr.load_params(cfg, dtype="float32")
+    assert params["embed"].shape[0] == cfg.vocab_size

@@ -63,6 +63,19 @@ def test_batch_isolation(setup):
     assert mixed[1]["token_ids"] == solo["token_ids"]
 
 
+def test_top_k_at_or_above_vocab_is_disabled(setup):
+    """top_k >= vocab_size means "disabled" (vLLM semantics), not an
+    out-of-bounds sort index at trace time."""
+    cfg, params = setup
+    prompt = list(range(8))
+    engine = DecodeEngine(params, cfg, pad_id=0, prompt_bucket=8)
+    big = SamplingParams(temperature=0.8, top_k=cfg.vocab_size + 5, top_p=1.0, max_tokens=4, stop_token_ids=())
+    off = SamplingParams(temperature=0.8, top_k=-1, top_p=1.0, max_tokens=4, stop_token_ids=())
+    a = engine.generate_batch([prompt], big, key=jax.random.key(3))[0]
+    b = engine.generate_batch([prompt], off, key=jax.random.key(3))[0]
+    assert a["token_ids"] == b["token_ids"]
+
+
 def test_temperature_sampling_reproducible(setup):
     cfg, params = setup
     prompt = list(range(10))

@@ -212,6 +212,36 @@ def test_windowed_clamps_ragged_windows():
         assert int((ds[i]["segment_ids"] > 0).sum()) > 0
 
 
+def test_windowed_partial_tail_is_prorated_not_inflated():
+    """A final partial window must get a prorated pack quota: 65 samples at
+    window=8 leaves a 1-sample tail, which must contribute ~1/8 of a window's
+    packs (here 1), not be cycle-duplicated up to the full quota."""
+    from ssi_tpu.data.packing import WindowedPackedDataset
+
+    rows = make_rows([4] * 65)
+    ds = WindowedPackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD, window=8)
+    assert ds.n_windows == 9 and ds.packs_per_window == 2
+    assert ds.packs_tail == 1  # round(2 * 1/8) -> at least 1, not 2
+    assert len(ds) == 8 * 2 + 1
+    # the tail sample appears exactly once in the epoch
+    tail_tok = rows[64]["tokens"]
+    hits = sum(
+        1 for i in range(len(ds))
+        if any(
+            ds[i]["tokens"][j : j + len(tail_tok)].tolist() == tail_tok
+            and ds[i]["segment_ids"][j] > 0
+            for j in range(ds[i]["tokens"].shape[0] - len(tail_tok) + 1)
+        )
+    )
+    assert hits >= 1
+    # shuffled epochs cover the same multiset, tail included exactly once
+    sh = WindowedPackedDataset(ListDataset(rows), max_seq_len=16, pad_id=PAD, window=8, shuffle=True, seed=3)
+    assert len(sh) == len(ds)
+    assert sorted(sh[i]["tokens"].tolist() for i in range(len(sh))) == sorted(
+        ds[i]["tokens"].tolist() for i in range(len(ds))
+    )
+
+
 def test_windowed_packed_trainer_end_to_end(tmp_path, synthetic_data):
     from ssi_tpu.train import Trainer
 

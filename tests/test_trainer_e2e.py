@@ -184,3 +184,54 @@ def test_profiler_hook(tmp_path, synthetic_data):
     assert not getattr(t, "_profiling", False)
     trace_files = list((tmp_path / "trace").rglob("*.pb")) + list((tmp_path / "trace").rglob("*.json.gz"))
     assert trace_files, "profiler trace files must exist"
+
+
+def test_retention_spares_resume_source_dir(tmp_path, synthetic_data):
+    """Pruning must never delete the step dir training resumed FROM — every
+    later save copies configs out of it (a prune-then-save would crash)."""
+    from ssi_tpu.train import Trainer
+
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    # first run leaves step_2 / step_4 in the output dir
+    cfg_dict = helpers.base_train_cfg_dict(model_dir, tmp_path / "ckpts", kind="sft")
+    cfg_dict["max_steps"] = 4
+    cfg_dict["save_steps"] = 2
+    cfg_dict["eval_steps"] = 2
+    t = Trainer(helpers.make_cfg(cfg_dict))
+    t.setup()
+    t.train()
+    t.cleanup()
+    root = tmp_path / "ckpts"
+    assert (root / "step_2").is_dir()
+
+    # second run loads FROM step_2 and writes into the SAME dir with retention
+    cfg_dict2 = helpers.base_train_cfg_dict(root / "step_2", root, kind="sft")
+    cfg_dict2["max_steps"] = 8
+    cfg_dict2["save_steps"] = 3
+    cfg_dict2["eval_steps"] = 3
+    cfg_dict2["keep_last_n_checkpoints"] = 2
+    t2 = Trainer(helpers.make_cfg(cfg_dict2))
+    t2.setup()
+    t2.train()  # saves at 3, 6, and the final 8; prunes down to 2 + source
+    t2.cleanup()
+    names = sorted(p.name for p in root.glob("step_*"))
+    assert "step_2" in names, "resume-source dir was pruned"
+    assert {"step_6", "step_8"} <= set(names)
+
+
+def test_final_checkpoint_saved_at_max_steps(tmp_path, synthetic_data):
+    """max_steps not divisible by save_steps: the run's end state must still
+    be written (the reference never reaches max_steps; we do)."""
+    from ssi_tpu.train import Trainer
+
+    model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / "model")
+    cfg_dict = helpers.base_train_cfg_dict(model_dir, tmp_path / "ckpts", kind="sft")
+    cfg_dict["max_steps"] = 5
+    cfg_dict["save_steps"] = 4
+    cfg_dict["eval_steps"] = 4
+    t = Trainer(helpers.make_cfg(cfg_dict))
+    t.setup()
+    t.train()
+    t.cleanup()
+    names = sorted(p.name for p in (tmp_path / "ckpts").glob("step_*"))
+    assert names == ["step_4", "step_5"], names
