@@ -50,17 +50,21 @@ def load_hf_dataset(source: str, **load_dataset_kwargs):
     return hf_datasets.load_dataset(source, **load_dataset_kwargs)
 
 
-def load_dataset_subset(source: str, n_samples: int, **load_dataset_kwargs):
+def load_dataset_subset(source: str, n_samples: int, filter_fn=None, **load_dataset_kwargs):
     """Load the first ``n_samples`` rows of an HF dataset via streaming.
 
     Streams so only the requested rows transit the network (ref:
-    ssi/data/__init__.py:30-56).
+    ssi/data/__init__.py:30-56). ``filter_fn`` is applied to the STREAM before
+    the take, so the result is "the first n_samples MATCHING rows" — filtering
+    after the take would silently return fewer samples than requested.
     """
     import datasets as hf_datasets
 
     if "split" not in load_dataset_kwargs:
         raise ValueError("load_dataset_subset requires a 'split' kwarg (e.g. split='train')")
     iterable = hf_datasets.load_dataset(source, streaming=True, **load_dataset_kwargs)
+    if filter_fn is not None:
+        iterable = iterable.filter(filter_fn)
     rows = list(iterable.take(n_samples))
     LOGGER.info(
         f"Streamed {len(rows)}/{n_samples} samples from {source} (split={load_dataset_kwargs.get('split', '?')})"
@@ -321,7 +325,6 @@ def setup_text_completion_data(
 ) -> tuple[Loader, Sampler]:
     """Build the CPT loader (ref: ssi/data/__init__.py:59-95)."""
     kwargs = _as_kwargs(cfg_dataset.dataset)
-    kwargs.pop("additional_keys", None)
     dataset = TextCompletionDataset(tokenizer=model_tokenizer, **kwargs)
     loader, sampler = _build_loader(dataset, cfg_dataset, model_tokenizer, num_replicas, rank)
     LOGGER.info(f"Dataset and Sampler initialized from {cfg_dataset.dataset.source}.")
@@ -401,11 +404,9 @@ def setup_alpaca_data(
     Kept for parity with the reference's OOM-debug workflow; unlike the reference
     it emits fixed-shape batches (pad_to=max_seq_len) so it is jit-friendly on TPU.
     """
-    import functools as _functools
-
     ds = _AlpacaDataset(tokenizer, source=source, **load_dataset_kwargs)
     sampler = Sampler(len(ds), num_replicas=num_replicas, rank=rank, shuffle=shuffle, seed=SEED, drop_last=True)
-    collate = _functools.partial(
+    collate = partial(
         padded_collate_sft,
         padding_idx=tokenizer.pad_id,
         ignore_idx=CROSS_ENTROPY_IGNORE_IDX,

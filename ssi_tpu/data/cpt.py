@@ -86,13 +86,18 @@ class TextCompletionDataset:
         speech_tokens_key: str | None = None,
         filter_fn: Callable | None = None,
         interleave_kwargs: dict[str, Any] | None = None,
+        additional_keys: list[str] | None = None,
         **load_dataset_kwargs: Any,
     ) -> None:
         self._tokenizer = tokenizer
         from ssi_tpu.data import load_hf_dataset, load_dataset_subset
 
         if n_samples is not None:
-            self._data = load_dataset_subset(source, n_samples, split=split, **load_dataset_kwargs)
+            # filter rides on the stream BEFORE the take: "first n MATCHING rows"
+            self._data = load_dataset_subset(
+                source, n_samples, filter_fn=filter_fn, split=split, **load_dataset_kwargs
+            )
+            filter_fn = None
         else:
             self._data = load_hf_dataset(source, split=split, **load_dataset_kwargs)
         self.add_eos = add_eos
@@ -124,6 +129,11 @@ class TextCompletionDataset:
 
         self.deduplicate = deduplicate
         self.use_modality_tokens = use_modality_tokens
+        # extra dataset columns passed through per sample (the collate forwards
+        # them un-padded — links samples to ground truth, e.g. IDs for ASR).
+        # The reference DECLARES this on the CPT collate but its dataset crashes
+        # on the kwarg (ref: ssi/data/__init__.py:80 vs ssi/data/cpt.py:41).
+        self.additional_keys = list(additional_keys or [])
         self._seed = SEED
         self._epoch = 0
 
@@ -156,7 +166,10 @@ class TextCompletionDataset:
         if self._tokenizer.max_seq_len is not None:
             tokens = truncate(tokens, self._tokenizer.max_seq_len - 1)
         labels = tokens.copy()
-        return {"tokens": tokens, "labels": labels}
+        out = {"tokens": tokens, "labels": labels}
+        for key in self.additional_keys:
+            out[key] = sample[key]
+        return out
 
 
 def get_span_idxs_binomial(n: int, p: float, seq_len: int, rng: np.random.Generator) -> list[int]:

@@ -69,7 +69,9 @@ class SFTDataset:
         from ssi_tpu.data import load_dataset_subset, load_hf_dataset
 
         if n_samples is not None:
-            self._data = load_dataset_subset(source, n_samples, **load_dataset_kwargs)
+            # filter rides on the stream BEFORE the take: "first n MATCHING rows"
+            self._data = load_dataset_subset(source, n_samples, filter_fn=filter_fn, **load_dataset_kwargs)
+            filter_fn = None
         else:
             self._data = load_hf_dataset(source, **load_dataset_kwargs)
         import datasets as hf_datasets

@@ -189,6 +189,37 @@ def _rope_for_positions(positions: jnp.ndarray, cfg: ConfigLlama3_2):
     )
 
 
+def _layer_scan(params, cfg: ConfigLlama3_2, h, kp, vp, cos, sin, attend):
+    """Shared per-layer transformer scaffold for every paged-cache pass.
+
+    ``h``: [B, T, D] embedded inputs; ``attend(q, k, v, kp, vp, l)`` is the
+    only part the four passes (single-token decode, speculative verify, prompt
+    prefill, suffix prefill) differ in — it writes K/V into the pools however
+    the pass requires and returns ``(attn [B, T, Hq, hd], kp, vp)``. Everything
+    is trace-time python, so the shared scaffold costs nothing at runtime.
+    Returns ``(h [B, T, D] — NOT final-normed, kp, vp)``.
+    """
+    b, t = h.shape[0], h.shape[1]
+    hd = cfg.head_dim
+
+    def body(carry, layer):
+        h, kp, vp, l = carry
+        x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
+        q = _mm(x, layer["wq"]).reshape(b, t, cfg.num_heads, hd)
+        k = _mm(x, layer["wk"]).reshape(b, t, cfg.num_kv_heads, hd)
+        v = _mm(x, layer["wv"]).reshape(b, t, cfg.num_kv_heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn, kp, vp = attend(q, k, v, kp, vp, l)
+        h = h + _mm(attn.reshape(b, t, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
+        x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
+        h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])
+        return (h, kp, vp, l + 1), None
+
+    (h, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
+    return h, kp, vp
+
+
 def decode_step_tokens(
     params: Any,
     tokens: jnp.ndarray,
@@ -209,7 +240,6 @@ def decode_step_tokens(
     entries, returns (fp32 logits [slots, V], pools).
     """
     ps = pools["k"].shape[1]
-    n_slots = tokens.shape[0]
     positions = seq_lens[:, None]  # [slots, 1] — position of the incoming token
     cos, sin = _rope_for_positions(positions, cfg)  # [slots, 1, hd]
 
@@ -218,9 +248,7 @@ def decode_step_tokens(
     offsets = seq_lens % ps
     attn_lens = seq_lens + 1  # attend over history + self (inactive slots masked upstream)
 
-    h = params["embed"][tokens]  # [slots, D]
-    hd = cfg.head_dim
-    kp, vp = pools["k"], pools["v"]
+    h = params["embed"][tokens][:, None, :]  # [slots, 1, D]
 
     if attn_impl == "pallas":
         from ssi_tpu.generate.paged_pallas import paged_attention_pallas
@@ -229,17 +257,10 @@ def decode_step_tokens(
 
     trash = pools["k"].shape[0] - 1
 
-    def body(carry, layer):
-        h, kp, vp, l = carry
+    def attend(q, k, v, kp, vp, l):
         base = l * n_pages
-        x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
-        q = _mm(x, layer["wq"]).reshape(n_slots, cfg.num_heads, hd)
-        k = _mm(x, layer["wk"]).reshape(n_slots, cfg.num_kv_heads, hd)
-        v = _mm(x, layer["wv"]).reshape(n_slots, cfg.num_kv_heads, hd)
-        # RoPE on the single position (apply_rope expects [B, S, H, d])
-        q = apply_rope(q[:, None], cos[:, :1], sin[:, :1])[:, 0]
-        k = apply_rope(k[:, None], cos[:, :1], sin[:, :1])[:, 0]
         phys_table = base + page_table  # [slots, max_pages]
+        q, k, v = q[:, 0], k[:, 0], v[:, 0]  # single-token kernels take [slots, H, hd]
         if paged_attention_pallas is not None:
             # Fused write+attend: the kernel writes the incoming token's K/V
             # into the (input->output aliased) pool itself — an XLA-side
@@ -254,13 +275,10 @@ def decode_step_tokens(
             kp = write_token_kv(kp, k, base + logical_ids, offsets, active)
             vp = write_token_kv(vp, v, base + logical_ids, offsets, active)
             attn = paged_attention(q, kp, vp, phys_table, attn_lens)
-        h = h + _mm(attn.reshape(n_slots, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
-        x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
-        h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])
-        return (h, kp, vp, l + 1), None
+        return attn[:, None], kp, vp
 
-    (h, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
-    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+    h, kp, vp = _layer_scan(params, cfg, h, pools["k"], pools["v"], cos, sin, attend)
+    h = rms_norm(h[:, 0], params["final_norm"], cfg.norm_eps)
     logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
     return logits, {"k": kp, "v": vp}
 
@@ -307,8 +325,6 @@ def decode_step_tokens_spec(
     attn_lens = seq_lens + 1  # token j attends over attn_lens + j entries
 
     h = params["embed"][tokens]  # [slots, T, D]
-    hd = cfg.head_dim
-    kp, vp = pools["k"], pools["v"]
 
     if attn_impl == "pallas":
         from ssi_tpu.generate.paged_pallas import WRITE_WIN, paged_attention_pallas_multi
@@ -317,15 +333,8 @@ def decode_step_tokens_spec(
 
     trash = pools["k"].shape[0] - 1
 
-    def body(carry, layer):
-        h, kp, vp, l = carry
+    def attend(q, k, v, kp, vp, l):
         base = l * n_pages
-        x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
-        q = _mm(x, layer["wq"]).reshape(n_slots, t_q, cfg.num_heads, hd)
-        k = _mm(x, layer["wk"]).reshape(n_slots, t_q, cfg.num_kv_heads, hd)
-        v = _mm(x, layer["wv"]).reshape(n_slots, t_q, cfg.num_kv_heads, hd)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
         phys_table = base + page_table
         if paged_attention_pallas_multi is not None:
             # fused kernel: T tokens persist via at most two aligned 8-row RMW
@@ -352,12 +361,9 @@ def decode_step_tokens_spec(
                     v[:, t].astype(vp.dtype).reshape(n_slots, -1)
                 )
             attn = paged_attention_multi(q, kp, vp, phys_table, attn_lens)
-        h = h + _mm(attn.reshape(n_slots, t_q, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
-        x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
-        h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])
-        return (h, kp, vp, l + 1), None
+        return attn, kp, vp
 
-    (h, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
+    h, kp, vp = _layer_scan(params, cfg, h, pools["k"], pools["v"], cos, sin, attend)
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
     logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
     return logits, {"k": kp, "v": vp}
@@ -406,7 +412,6 @@ def prefill_prompts(
     trash = pools["k"].shape[0] - 1
 
     h = params["embed"][tokens]  # [B, P, D]
-    kp, vp = pools["k"], pools["v"]
 
     if attn_impl == "pallas":
         # the training flash kernel in inference mode: triangle-blocked causal
@@ -418,25 +423,15 @@ def prefill_prompts(
     else:
         attn_fn = prefill_attention
 
-    def body(carry, layer):
-        h, kp, vp, l = carry
-        x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
-        q = _mm(x, layer["wq"]).reshape(b, p, cfg.num_heads, hd)
-        k = _mm(x, layer["wk"]).reshape(b, p, cfg.num_kv_heads, hd)
-        v = _mm(x, layer["wv"]).reshape(b, p, cfg.num_kv_heads, hd)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+    def attend(q, k, v, kp, vp, l):
         attn = attn_fn(q, k, v)
-        h = h + _mm(attn.reshape(b, p, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
-        x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
-        h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])
         # write pages: [B, P] -> [B*P//ps, ps, Hkv, hd] at physical rows
         phys = jnp.where(page_ids >= n_pages, trash, l * n_pages + page_ids).reshape(-1)
         kp = kp.at[phys].set(k.astype(kp.dtype).reshape(b * p // ps, ps, cfg.num_kv_heads * hd))
         vp = vp.at[phys].set(v.astype(vp.dtype).reshape(b * p // ps, ps, cfg.num_kv_heads * hd))
-        return (h, kp, vp, l + 1), None
+        return attn, kp, vp
 
-    (_, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
+    _, kp, vp = _layer_scan(params, cfg, h, pools["k"], pools["v"], cos, sin, attend)
     pools = {"k": kp, "v": vp}
     if hist is None:
         return pools
@@ -490,17 +485,11 @@ def prefill_suffix(
     trash = pools["k"].shape[0] - 1
 
     h = params["embed"][tokens]  # [B, S, D]
-    kp, vp = pools["k"], pools["v"]
     base_lens = start + 1  # suffix token 0 attends the cached history + itself
 
-    def body(carry, layer):
-        h, kp, vp, l = carry
-        x = rms_norm(h, layer["attn_norm"], cfg.norm_eps)
-        q = _mm(x, layer["wq"]).reshape(b, s_len, cfg.num_heads, hd)
-        k = _mm(x, layer["wk"]).reshape(b, s_len, cfg.num_kv_heads, hd)
-        v = _mm(x, layer["wv"]).reshape(b, s_len, cfg.num_kv_heads, hd)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+    def attend(q, k, v, kp, vp, l):
+        # scatter the suffix K/V FIRST, then attend over the gathered page view
+        # (cached history + in-suffix predecessors in one joint softmax)
         phys_new = jnp.where(page_ids_new >= n_pages, trash, l * n_pages + page_ids_new).reshape(-1)
         kp = kp.at[phys_new].set(
             k.astype(kp.dtype).reshape(b * s_len // ps, ps, cfg.num_kv_heads * hd)
@@ -510,12 +499,9 @@ def prefill_suffix(
         )
         phys_table = jnp.where(page_table >= n_pages, trash, l * n_pages + page_table)
         attn = paged_attention_multi(q, kp, vp, phys_table, base_lens)
-        h = h + _mm(attn.reshape(b, s_len, cfg.num_heads * hd).astype(h.dtype), layer["wo"])
-        x = rms_norm(h, layer["mlp_norm"], cfg.norm_eps)
-        h = h + _mm(jax.nn.silu(_mm(x, layer["w_gate"])) * _mm(x, layer["w_up"]), layer["w_down"])
-        return (h, kp, vp, l + 1), None
+        return attn, kp, vp
 
-    (_, kp, vp, _), _ = jax.lax.scan(body, (h, kp, vp, jnp.int32(0)), params["layers"])
+    _, kp, vp = _layer_scan(params, cfg, h, pools["k"], pools["v"], cos, sin, attend)
     pools = {"k": kp, "v": vp}
     if hist is None:
         return pools

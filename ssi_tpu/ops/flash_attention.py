@@ -318,6 +318,11 @@ def flash_attention(
         segment_ids: optional ``[B, S]`` packed-sequence IDs.
     """
     b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    if hq % hkv != 0:
+        # the K/V BlockSpec index map divides by n_rep — a non-divisible head
+        # config would silently clamp/wrap the block index (wrong attention)
+        raise ValueError(f"Hq ({hq}) must be a multiple of Hkv ({hkv}) for GQA")
     if block_q is None:
         block_q = _pick_block_q(s)
     if s % block_q != 0:
@@ -330,9 +335,9 @@ def flash_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     o, lse = _flash_bhsd(qt, kt, vt, segment_ids, causal, block_q)
-    # tag both residuals for selective remat (save_qkv_mlp_attn policy)
+    # the remat policy saves o (save_qkv_mlp_attn); lse rides along as a fwd
+    # residual via _flash_fwd_rule — no extra tag needed here
     from jax.ad_checkpoint import checkpoint_name
 
     o = checkpoint_name(o, "attn_out")
-    _ = checkpoint_name(lse, "attn_out")
     return o.transpose(0, 2, 1, 3).astype(q.dtype)

@@ -15,7 +15,6 @@ ssi/tokenizer/monkeypatch.py:7-43). Behavioural contract:
 
 from __future__ import annotations
 
-import hashlib
 import logging
 import os
 from pathlib import Path
@@ -120,13 +119,17 @@ class Llama3Tokenizer:
         prompt_template=None,
         backend: str = "auto",
         pattern: str = CL100K_PATTERN_PUA,
+        mergeable_ranks: dict[bytes, int] | None = None,
     ):
         self.path = str(path)
         self.special_tokens = dict(special_tokens) if special_tokens is not None else dict(LLAMA3_SPECIAL_TOKENS)
         self.max_seq_len = max_seq_len
         self.prompt_template = prompt_template
 
-        mergeable_ranks = load_tiktoken_bpe(self.path)
+        # accept pre-parsed ranks so setup_llama3_tokenizer doesn't parse the
+        # multi-MB base64 merges file twice per process
+        if mergeable_ranks is None:
+            mergeable_ranks = load_tiktoken_bpe(self.path)
         self._base_vocab_size = len(mergeable_ranks)
         self.pattern = pattern
         self.tt_model = tiktoken.Encoding(
@@ -322,9 +325,11 @@ def setup_llama3_tokenizer(
     elif pattern == "cl100k_pua":
         pattern = CL100K_PATTERN_PUA
     path = Path(path)
-    with open(path, "rb") as f:
-        expected_hash = hashlib.sha256(f.read()).hexdigest()
-    mergeable_ranks = load_tiktoken_bpe(str(path), expected_hash)
+    # parse the merges file ONCE and hand the ranks to the tokenizer below.
+    # (The reference hashes the file and passes the hash to load_tiktoken_bpe —
+    # a check that is true by construction since the hash comes from the same
+    # file; ref: ssi/tokenizer/__init__.py:24-26. Dropped here.)
+    mergeable_ranks = load_tiktoken_bpe(str(path))
     base_vocab_size = len(mergeable_ranks)
     assert base_vocab_size == max(mergeable_ranks.values()) + 1, "Requirement: base vocab contiguous and 0-indexed"
     special_token_names = list(LLAMA3_SPECIAL_TOKENS)
@@ -339,6 +344,7 @@ def setup_llama3_tokenizer(
         max_seq_len=max_seq_len,
         prompt_template=prompt_template,
         pattern=pattern,
+        mergeable_ranks=mergeable_ranks,
     )
     if verbose:
         LOGGER.info(f"Loaded Llama 3 tiktoken tokenizer from: {path}")

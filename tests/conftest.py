@@ -75,8 +75,10 @@ def synthetic_data(monkeypatch):
         rows = sft_rows if "sft" in str(source) else cpt_rows
         return hfd.Dataset.from_list(rows)
 
-    def fake_subset(source, n_samples, **kw):
+    def fake_subset(source, n_samples, filter_fn=None, **kw):
         rows = sft_rows if "sft" in str(source) else cpt_rows
+        if filter_fn is not None:  # mirror the real filter-before-take semantics
+            rows = [r for r in rows if filter_fn(r)]
         return hfd.Dataset.from_list(rows[:n_samples])
 
     monkeypatch.setattr(data_mod, "load_hf_dataset", fake_load)

@@ -97,3 +97,41 @@ def test_alpaca_debug_loader(tiny_tokenizer_path, monkeypatch):
     assert batch["labels"].shape == batch["tokens"].shape
     # train_on_input=True: both user and assistant tokens contribute to loss
     assert (batch["labels"] != -100).sum() > 0
+
+
+def test_cpt_additional_keys_flow_to_batches(synthetic_data, tiny_extended_tokenizer_path):
+    """additional_keys on a CPT config must flow dataset -> collate -> batch
+    (the reference DECLARES this on the CPT collate but its dataset crashes on
+    the kwarg; previously our CPT popped the key but the collate still
+    expected it -> KeyError at the first batch)."""
+    from ssi_tpu.config import Config
+    from ssi_tpu.data import setup_text_completion_data
+    from ssi_tpu.tokenizer import setup_llama3_tokenizer
+
+    tok, _ = setup_llama3_tokenizer(path=str(tiny_extended_tokenizer_path), max_seq_len=64)
+    cfg = Config(
+        {
+            "dataset": {
+                "source": "synthetic/cpt",
+                "split": "train",
+                "sequence_type": "interleaved",
+                "interleave_kwargs": {
+                    "sampling_rate": 16000,
+                    "downsampling_ratio": 320,
+                    "mean_seq_len_tokens": 10.0,
+                    "binom_prob": 0.1,
+                },
+                "deduplicate": True,
+                "use_modality_tokens": True,
+                "additional_keys": ["tokenized"],
+                "n_samples": None,
+            },
+            "dataloader": {"batch_size": 2, "drop_last": True, "pad_mode": "max_seq_len"},
+            "shuffle": False,
+            "packed": False,
+        }
+    )
+    loader, _sampler = setup_text_completion_data(cfg, tok)
+    batch = next(iter(loader))
+    assert "tokenized" in batch and len(batch["tokenized"]) == 2
+    assert isinstance(batch["tokenized"][0], list)
