@@ -386,15 +386,42 @@ class Trainer:
             LOGGER.info(f"Resuming: skipping {batches_to_skip} batches in epoch {epoch}")
         data_iter = itertools.islice(enumerate(self.data_train), batches_to_skip, self.geometry.usable_batches)
 
+        # overlap_io keeps ONE dispatched window in flight: window N computes on
+        # device while the host tokenizes/stacks/uploads window N+1, and the
+        # metrics sync for N happens only after N+1 is queued — the device never
+        # idles on host data work. Metric/counter/checkpoint processing stays in
+        # strict window order, so every logged value is identical to the
+        # synchronous loop (only the duration_step attribution changes: it
+        # measures the pipelined processing-to-processing time).
+        overlap = bool(self.cfg.get("overlap_io", False))
         accum = self.cfg.gradient_accumulation_steps
         window: list[dict[str, Any]] = []
+        pending: dict[str, Any] | None = None
         for i, batch in data_iter:
             window.append(batch)
-            if len(window) == accum:
-                self._optimizer_step(epoch, i, window)
-                window = []
+            if len(window) != accum:
+                continue
+            if pending is not None and self._pending_needs_state():
+                # the in-flight window's processing reads post-step device state
+                # (eval / checkpoint / final step) — the next dispatch would
+                # donate those buffers, so complete it first
+                self._process_window(pending)
+                pending = None
                 if self.global_step >= self.cfg.max_steps:
                     return
+            nxt = self._dispatch_window(epoch, i, window)
+            window = []
+            if pending is not None:
+                self._process_window(pending)
+                pending = None
+            if overlap:
+                pending = nxt
+            else:
+                self._process_window(nxt)
+            if self.global_step >= self.cfg.max_steps:
+                break
+        if pending is not None:
+            self._process_window(pending)
 
     def _stack_window(self, window: list[dict[str, Any]]) -> dict[str, np.ndarray]:
         """Stack accumulation-window micro-batches to [A, B, S] (pad to window max)."""
@@ -431,14 +458,43 @@ class Trainer:
             self._profiling = False
             LOGGER.info("jax.profiler trace stopped")
 
-    def _optimizer_step(self, epoch: int, iter_idx: int, window: list[dict[str, Any]]) -> None:
+    def _pending_needs_state(self) -> bool:
+        """True when the in-flight window's processing may read the post-step
+        device state — dev-set eval, checkpoint save, or the run's final step —
+        so it must complete BEFORE the next dispatch donates those buffers."""
+        ps = self.global_step + 1  # the step the pending window becomes (if applied)
+        return (
+            ps % self.cfg.eval_steps == 0
+            or ps % self.cfg.save_steps == 0
+            or ps >= self.cfg.max_steps
+        )
+
+    def _dispatch_window(self, epoch: int, iter_idx: int, window: list[dict[str, Any]]) -> dict[str, Any]:
+        """Stack + upload one accumulation window and dispatch the jitted step
+        (async). Returns the handle record ``_process_window`` consumes; only
+        ``state`` is donated by the step, so the metrics outputs stay valid
+        while a newer window computes."""
         self._maybe_profile()
         stacked = self._stack_window(window)
         put = {k: host_local_to_global(v, self._batch_sharding) for k, v in stacked.items()}
-        tokens = put["tokens"]
         self.state, metrics = self.train_step(
             self.state, put["tokens"], put["labels"], put.get("segment_ids"), put.get("positions")
         )
+        return {
+            "epoch": epoch,
+            "iter_idx": iter_idx,
+            "metrics": metrics,
+            "max_seq_len": int(stacked["tokens"].shape[-1]),
+        }
+
+    def _optimizer_step(self, epoch: int, iter_idx: int, window: list[dict[str, Any]]) -> None:
+        """Synchronous dispatch + process (the reference's step shape;
+        kept as the unit-test surface — tests drive this directly)."""
+        self._process_window(self._dispatch_window(epoch, iter_idx, window))
+
+    def _process_window(self, pending: dict[str, Any]) -> None:
+        epoch, iter_idx = pending["epoch"], pending["iter_idx"]
+        metrics = pending["metrics"]
 
         # Host sync point (one per optimizer step)
         self.consumed_windows += 1
@@ -461,7 +517,7 @@ class Trainer:
         loss_to_log = loss_sum / num_tokens_step
         self.tokens_train_total += num_tokens_step
         self._num_tokens_step = num_tokens_step
-        self._max_seq_len_step = tokens.shape[-1]
+        self._max_seq_len_step = pending["max_seq_len"]
 
         if self._loss_log is not None:
             self._loss_log.append(loss_to_log)

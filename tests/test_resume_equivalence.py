@@ -104,6 +104,27 @@ def test_resume_equivalence_bitwise(model_dir, tmp_path, monkeypatch):
             assert res[k] == v, f"metric {k} diverges at step {rec['step']}: {res[k]} != {v}"
 
 
+def test_resume_equivalence_overlap_io(model_dir, tmp_path, monkeypatch):
+    """The pipelined input loop (overlap_io: one window in flight, metrics
+    synced one step late) must keep the bitwise resume contract: save steps
+    fall back to a synchronous step, so the checkpoint state and the resume
+    position are exactly the synchronous loop's."""
+    _patch_data(monkeypatch)
+    ovl = {"overlap_io": True}
+
+    _, losses_full, _ = run_trainer(model_dir, tmp_path / "full", TOTAL_STEPS, extra_cfg=ovl)
+    _, losses_a, _ = run_trainer(model_dir, tmp_path / "int", HALF_STEPS, extra_cfg=ovl)
+    t2, losses_b, _ = run_trainer(
+        model_dir=tmp_path / "int" / f"step_{HALF_STEPS}",
+        ckpt_dir=tmp_path / "resumed",
+        max_steps=TOTAL_STEPS,
+        training_state=tmp_path / "int" / "training_state.msgpack",
+        extra_cfg=ovl,
+    )
+    assert t2.global_step == TOTAL_STEPS
+    assert losses_a + losses_b == losses_full
+
+
 @pytest.mark.parametrize(
     "mesh_a,mesh_b",
     [

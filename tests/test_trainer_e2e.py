@@ -219,6 +219,51 @@ def test_retention_spares_resume_source_dir(tmp_path, synthetic_data):
     assert {"step_6", "step_8"} <= set(names)
 
 
+def test_overlap_io_equivalence(tmp_path, synthetic_data):
+    """overlap_io (one dispatched window in flight, metrics synced one step
+    late) must be observationally identical to the synchronous loop: same
+    per-step losses (bitwise), same logged metrics, same checkpoint bytes.
+    Eval/save/final steps exercise the synchronous fallback (the processing
+    of those windows reads post-step state before the next dispatch donates
+    it): max_steps=8 with save/eval at 4 covers boundary + steady-state."""
+    from ssi_tpu.train import Trainer
+
+    def run(overlap: bool, tag: str):
+        model_dir = helpers.make_tiny_hf_checkpoint(tmp_path / f"model_{tag}")
+        cfg_dict = helpers.base_train_cfg_dict(model_dir, tmp_path / f"ckpts_{tag}", kind="sft")
+        cfg_dict["overlap_io"] = overlap
+        t = Trainer(helpers.make_cfg(cfg_dict))
+        t.setup()
+        losses: list[float] = []
+        t._loss_log = losses
+        t.train()
+        t.cleanup()
+        return losses, t.metric_logger.history, t.tokens_train_total, dict(t.token_type_counts_total)
+
+    loss_sync, hist_sync, tok_sync, tt_sync = run(False, "sync")
+    loss_ovl, hist_ovl, tok_ovl, tt_ovl = run(True, "ovl")
+
+    assert loss_ovl == loss_sync  # bitwise-equal loss stream
+    assert tok_ovl == tok_sync and tt_ovl == tt_sync
+    timing = {"duration_step", "tokens_per_second_per_gpu", "train_clock_time"}
+    assert len(hist_ovl) == len(hist_sync)
+    for a, b in zip(hist_ovl, hist_sync):
+        assert {k: v for k, v in a.items() if k not in timing} == {
+            k: v for k, v in b.items() if k not in timing
+        }
+    # checkpoints written at the same steps with identical model bytes (the
+    # save fallback synced the right state before the next dispatch donated it)
+    for step in (4, 8):
+        for a_dir, b_dir in ((tmp_path / "ckpts_sync", tmp_path / "ckpts_ovl"),):
+            a_shards = sorted((a_dir / f"step_{step}").glob("*.safetensors"))
+            b_shards = sorted((b_dir / f"step_{step}").glob("*.safetensors"))
+            assert a_shards and [p.name for p in a_shards] == [p.name for p in b_shards]
+            for pa, pb in zip(a_shards, b_shards):
+                assert pa.read_bytes() == pb.read_bytes(), (
+                    f"step_{step}/{pa.name} differs between sync and overlap runs"
+                )
+
+
 def test_final_checkpoint_saved_at_max_steps(tmp_path, synthetic_data):
     """max_steps not divisible by save_steps: the run's end state must still
     be written (the reference never reaches max_steps; we do)."""
