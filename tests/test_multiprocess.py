@@ -62,6 +62,11 @@ def _run_two_processes(workdir) -> list[dict]:
                 "--rank", str(r), "--nprocs", "2", "--port", str(port),
                 "--workdir", str(workdir), "--steps", str(STEPS),
                 "--batch-size", str(PER_RANK_BATCH),
+                # the pipelined input loop (overlap_io) must stay in lockstep
+                # across ranks: the boundary predicate is a pure function of
+                # global_step, so save-step collectives line up — validated
+                # here against a synchronous single-process run
+                "--overlap",
             ],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )

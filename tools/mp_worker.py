@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--workdir", type=Path, required=True)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--overlap", action="store_true", help="run with overlap_io (pipelined input loop)")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +62,7 @@ def main():
     cfg["save_steps"] = args.steps
     cfg["eval_steps"] = args.steps
     cfg["lr_scheduler"] = None
+    cfg["overlap_io"] = bool(args.overlap)
     cfg["parallel"] = {
         "dp": args.nprocs,
         "tp": 1,
