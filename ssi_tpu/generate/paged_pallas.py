@@ -352,8 +352,8 @@ def paged_attention_pallas(
         pool_out_spec = pl.BlockSpec((n_rows, ps, kvd), lambda b, *_: (0, 0, 0))
         aliases = {}
     else:
-        pool_in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        pool_out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        pool_in_spec = pl.BlockSpec(memory_space=pl.ANY)
+        pool_out_spec = pl.BlockSpec(memory_space=pl.ANY)
         # keys index the flat positional inputs (scalar-prefetch included):
         # inputs 9/10 are k2/v2; outputs 1/2 are the aliased pools.
         aliases = {9: 1, 10: 2}
@@ -716,8 +716,8 @@ def paged_attention_pallas_multi(
         pool_out_spec = pl.BlockSpec((n_rows, ps, kvd), lambda b, *_: (0, 0, 0))
         aliases = {}
     else:
-        pool_in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        pool_out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        pool_in_spec = pl.BlockSpec(memory_space=pl.ANY)
+        pool_out_spec = pl.BlockSpec(memory_space=pl.ANY)
         # flat positional inputs (4 scalar-prefetch + 6 arrays): k2/v2 at 10/11
         aliases = {10: 1, 11: 2}
 
