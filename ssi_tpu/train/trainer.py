@@ -393,7 +393,7 @@ class Trainer:
         # strict window order, so every logged value is identical to the
         # synchronous loop (only the duration_step attribution changes: it
         # measures the pipelined processing-to-processing time).
-        overlap = bool(self.cfg.get("overlap_io", False))
+        overlap = bool(self.cfg.get("overlap_io", True))
         accum = self.cfg.gradient_accumulation_steps
         window: list[dict[str, Any]] = []
         pending: dict[str, Any] | None = None
@@ -409,7 +409,7 @@ class Trainer:
                 pending = None
                 if self.global_step >= self.cfg.max_steps:
                     return
-            nxt = self._dispatch_window(epoch, i, window)
+            nxt = self._dispatch_window(epoch, i, window, in_flight=int(pending is not None))
             window = []
             if pending is not None:
                 self._process_window(pending)
@@ -440,20 +440,24 @@ class Trainer:
         keys = ["tokens", "labels"] + [k for k in ("segment_ids", "positions") if k in window[0]]
         return {k: np.stack([pad_to(b[k], pad_values[k]) for b in window]) for k in keys}
 
-    def _maybe_profile(self) -> None:
+    def _maybe_profile(self, dispatched_step: int) -> None:
         """Opt-in jax.profiler trace window (a superset of the reference's step-timing
-        observability — SURVEY.md §5). Config: ``profiler: {start_step, num_steps, dir}``."""
+        observability — SURVEY.md §5). Config: ``profiler: {start_step, num_steps, dir}``.
+
+        ``dispatched_step`` is the step count at the moment of dispatch INCLUDING
+        any window still in flight under overlap_io, so the trace covers the same
+        optimizer steps whether or not the input pipeline is overlapped."""
         pcfg = self.cfg.get("profiler")
         if pcfg is None:
             return
         start = int(pcfg.get("start_step", 5))
         num = int(pcfg.get("num_steps", 3))
-        if self.global_step == start:
+        if dispatched_step == start:
             trace_dir = str(pcfg.get("dir") or Path(self.cfg.checkpointer.output_dir) / "profile")
             jax.profiler.start_trace(trace_dir)
             self._profiling = True
             LOGGER.info(f"jax.profiler trace started -> {trace_dir}")
-        elif getattr(self, "_profiling", False) and self.global_step >= start + num:
+        elif getattr(self, "_profiling", False) and dispatched_step >= start + num:
             jax.profiler.stop_trace()
             self._profiling = False
             LOGGER.info("jax.profiler trace stopped")
@@ -469,12 +473,16 @@ class Trainer:
             or ps >= self.cfg.max_steps
         )
 
-    def _dispatch_window(self, epoch: int, iter_idx: int, window: list[dict[str, Any]]) -> dict[str, Any]:
+    def _dispatch_window(
+        self, epoch: int, iter_idx: int, window: list[dict[str, Any]], in_flight: int = 0
+    ) -> dict[str, Any]:
         """Stack + upload one accumulation window and dispatch the jitted step
         (async). Returns the handle record ``_process_window`` consumes; only
         ``state`` is donated by the step, so the metrics outputs stay valid
-        while a newer window computes."""
-        self._maybe_profile()
+        while a newer window computes. ``in_flight`` counts dispatched-but-
+        unprocessed windows (0 or 1 under overlap_io) so step-indexed triggers
+        like the profiler see the would-be step of THIS window."""
+        self._maybe_profile(self.global_step + in_flight)
         stacked = self._stack_window(window)
         put = {k: host_local_to_global(v, self._batch_sharding) for k, v in stacked.items()}
         self.state, metrics = self.train_step(

@@ -48,13 +48,20 @@ def workdir(tmp_path_factory):
     return wd
 
 
-def _run_two_processes(workdir) -> list[dict]:
+def _run_two_processes(workdir, overlap: bool = True, tag: str = "") -> list[dict]:
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    cmd_tail = ["--tag", tag] if tag else []
+    if overlap:
+        # the pipelined input loop (overlap_io) must stay in lockstep
+        # across ranks: the boundary predicate is a pure function of
+        # global_step, so save-step collectives line up — validated
+        # here against a synchronous single-process run
+        cmd_tail.append("--overlap")
     procs = [
         subprocess.Popen(
             [
@@ -62,11 +69,7 @@ def _run_two_processes(workdir) -> list[dict]:
                 "--rank", str(r), "--nprocs", "2", "--port", str(port),
                 "--workdir", str(workdir), "--steps", str(STEPS),
                 "--batch-size", str(PER_RANK_BATCH),
-                # the pipelined input loop (overlap_io) must stay in lockstep
-                # across ranks: the boundary predicate is a pure function of
-                # global_step, so save-step collectives line up — validated
-                # here against a synchronous single-process run
-                "--overlap",
+                *cmd_tail,
             ],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -75,12 +78,16 @@ def _run_two_processes(workdir) -> list[dict]:
     outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
-    return [json.load(open(workdir / f"losses_rank{r}.json")) for r in (0, 1)]
+    return [json.load(open(workdir / f"losses_rank{r}{tag}.json")) for r in (0, 1)]
 
 
-def test_two_process_training_matches_single_process(workdir, monkeypatch, tmp_path):
-    results = _run_two_processes(workdir)
-    r0, r1 = results
+@pytest.fixture(scope="module")
+def overlap_results(workdir) -> list[dict]:
+    return _run_two_processes(workdir, overlap=True)
+
+
+def test_two_process_training_matches_single_process(workdir, overlap_results, monkeypatch, tmp_path):
+    r0, r1 = overlap_results
     assert len(r0["losses"]) == STEPS
 
     # both ranks observe the SAME global loss stream, bitwise
@@ -127,3 +134,16 @@ def test_two_process_training_matches_single_process(workdir, monkeypatch, tmp_p
     # rank-0-writes convention: the shared ckpt dir has exactly one final save
     assert (workdir / "ckpt_shared" / f"step_{STEPS}").is_dir()
     assert (workdir / "ckpt_shared" / "training_state.msgpack").is_file()
+
+
+def test_two_process_sync_loop_matches_overlap(workdir, overlap_results):
+    """The synchronous (overlap_io=false) loop across real OS processes: both
+    ranks in lockstep, and the loss stream bitwise-identical to the overlapped
+    run — overlap is a pure scheduling change (ADVICE r3: keep real-distributed
+    coverage of the sync path too)."""
+    sync = _run_two_processes(workdir, overlap=False, tag="_sync")
+    s0, s1 = sync
+    assert s0["losses"] == s1["losses"]
+    assert s0["losses"] == overlap_results[0]["losses"]  # bitwise, same program
+    assert s0["consumed_samples"] == overlap_results[0]["consumed_samples"]
+    assert (workdir / "ckpt_shared_sync" / f"step_{STEPS}").is_dir()

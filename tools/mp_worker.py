@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--overlap", action="store_true", help="run with overlap_io (pipelined input loop)")
+    ap.add_argument("--tag", default="", help="suffix for output files/ckpt dir (lets sync+overlap runs share a workdir)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +58,7 @@ def main():
     model_dir = args.workdir / "model"
     data_file = str(args.workdir / "data.jsonl")
 
-    cfg = helpers.base_train_cfg_dict(model_dir, args.workdir / "ckpt_shared", kind="sft")
+    cfg = helpers.base_train_cfg_dict(model_dir, args.workdir / f"ckpt_shared{args.tag}", kind="sft")
     cfg["max_steps"] = args.steps
     cfg["save_steps"] = args.steps
     cfg["eval_steps"] = args.steps
@@ -97,7 +98,7 @@ def main():
         "shard": shard,
         "consumed_samples": t.consumed_samples,
     }
-    with open(args.workdir / f"losses_rank{args.rank}.json", "w") as f:
+    with open(args.workdir / f"losses_rank{args.rank}{args.tag}.json", "w") as f:
         json.dump(out, f)
     print(f"rank {args.rank} done: {losses}")
 
