@@ -66,15 +66,26 @@ def main(args: Namespace) -> None:
         LOGGER.info(f"Inferred split from path: {args.split}")
     generated = extract_texts_from_generations_jsonl(args.generations_jsonl)
     reference = ref_from_hf_dataset(args.dataset, args.split, args.gt_transcript_colname)
+    artifact = {}
     if args.normalizer == "whisper":
+        from ssi_tpu.eval.wer import spelling_mapping_fingerprint, suspected_unmapped_words
+
         normalize = english_normalizer()
         generated = [normalize(text) for text in generated]
         reference = [normalize(text) for text in reference]
+        # pin the vendored map + quantify the residual normalizer divergence:
+        # words still British-shaped AFTER normalization either slipped through
+        # the (reconstructed) spelling map or are heuristic false positives
+        suspects = suspected_unmapped_words(generated + reference)
+        artifact |= spelling_mapping_fingerprint()
+        artifact["suspected_unmapped_words"] = sum(suspects.values())
+        artifact["suspected_unmapped_distinct"] = len(suspects)
+        artifact["suspected_unmapped_examples"] = dict(list(suspects.items())[:20])
     else:
         LOGGER.info("No normalizer specified, skipping text normalization.")
     wer = word_error_rate(references=reference, hypotheses=generated)
     with open(wer_json, "x") as f:
-        json.dump({"wer": wer}, f, indent=4)
+        json.dump({"wer": wer} | artifact, f, indent=4)
     LOGGER.info(f"WER: {wer:.5f}.")
     LOGGER.info(f"Saved WER JSON to {wer_json!s}")
 

@@ -25,7 +25,6 @@ Offline use: point the data config at local json rows with the standard
 """
 
 import argparse
-import hashlib
 import json
 import logging
 from pathlib import Path
@@ -85,21 +84,29 @@ def main(argv: list[str]) -> None:
     if len(refs_raw) != len(hyps_raw):
         raise ValueError(f"{len(refs_raw)} references for {len(hyps_raw)} hypotheses")
 
+    from ssi_tpu.eval.wer import spelling_mapping_fingerprint, suspected_unmapped_words
+
     normalize = english_normalizer()
     refs = [normalize(t) for t in refs_raw]
     hyps = [normalize(t) for t in hyps_raw]
     wer = word_error_rate(refs, hyps)
 
     mapping = load_spelling_mapping()
-    map_bytes = json.dumps(mapping, sort_keys=True).encode()
+    # residual normalizer divergence, quantified per run (VERDICT r3 item 7):
+    # post-normalization words that still look British-spelled but are absent
+    # from the vendored map — each is a potential WER shift vs the reference's
+    # hub-hosted mapping
+    suspects = suspected_unmapped_words(refs + hyps, mapping)
     artifact = {
         "wer": wer,
         "n_samples": len(hyps),
         "dataset": dataset,
         "split": split,
         "normalizer": "transformers-vendored EnglishTextNormalizer",
-        "spelling_map_entries": len(mapping),
-        "spelling_map_sha256": hashlib.sha256(map_bytes).hexdigest(),
+        **spelling_mapping_fingerprint(mapping),
+        "suspected_unmapped_words": sum(suspects.values()),
+        "suspected_unmapped_distinct": len(suspects),
+        "suspected_unmapped_examples": dict(list(suspects.items())[:20]),
         "reference_command": (
             f"python scripts/wer.py {gen_jsonl} "
             "# run inside the reference repo; compares whisper_normalizer vs our vendored normalizer "

@@ -167,6 +167,67 @@ def test_spelling_map_scale_and_classes():
         assert both not in m, both
 
 
+def test_suspected_unmapped_words():
+    """Residual-divergence counter (VERDICT r3 item 7): post-normalization words
+    that look British-spelled but are absent from the vendored map."""
+    from ssi_tpu.eval.wer import (
+        load_spelling_mapping,
+        spelling_mapping_fingerprint,
+        suspected_unmapped_words,
+    )
+
+    m = load_spelling_mapping()
+    # every mapped word is by definition not a gap
+    assert suspected_unmapped_words([" ".join(m.keys())], m) == {}
+    # synthetic gaps in each class are caught and counted
+    gaps = suspected_unmapped_words(
+        ["he zzzourised the quxxtre twice while zzzising", "zzzourised gooelled rrhoea"], m
+    )
+    assert gaps["zzzourised"] == 2
+    assert {"quxxtre", "zzzising", "gooelled", "rrhoea"} <= set(gaps)
+    # common words identical in American English are NOT suspects
+    clean = suspected_unmapped_words(
+        ["four hours on tour with flour and a promise to exercise surprise",
+         "compelled spelling across the acre in vogue analyzing dwelling"], m
+    )
+    assert clean == {}, clean
+
+    fp = spelling_mapping_fingerprint(m)
+    assert fp["spelling_map_entries"] == len(m)
+    assert len(fp["spelling_map_sha256"]) == 64
+
+
+def test_normalizer_class_boundary_goldens():
+    """Every systematic spelling-map class exercised at its boundary: one mapped
+    word AND one identical-in-US neighbour per class, through the FULL
+    normalizer (VERDICT r3 item 7)."""
+    normalize = english_normalizer()
+    cases = [
+        # (-ise class, and an -ise word that must survive)
+        ("they recognise and advertise", "they recognize and advertise"),
+        ("she apologised, he will exercise", "she apologized he will exercise"),
+        # -yse
+        ("paralysed while they analyse", "paralyzed while they analyze"),
+        # -our vs identical -our
+        ("the labour of four hours", "the labor of 4 hours"),
+        ("rumour has it our flour is sour", "rumor has it our flour is sour"),
+        # -re vs identical -re
+        ("the theatre near the acre", "the theater near the acre"),
+        ("a litre of lucre at the centre", "a liter of lucre at the center"),
+        # doubled-l vs stressed-syllable ll
+        ("he travelled and was compelled", "he traveled and was compelled"),
+        ("modelling while propelling", "modeling while propelling"),
+        # -ence vs -ense
+        ("the defence of the licence", "the defense of the license"),
+        # -ogue vs identical
+        ("a catalogue in vogue", "a catalog in vogue"),
+        # ae/oe reduction
+        ("anaemia near the phoenix", "anemia near the phoenix"),
+    ]
+    for raw, expected in cases:
+        assert normalize(raw) == expected, raw
+
+
 def test_wer_parity_harness(tmp_path):
     """scripts/wer_parity.py end-to-end offline: scores an existing generations
     dir against local refs and emits the reference-comparable artifact."""
