@@ -47,9 +47,17 @@ def hf_to_internal(state_dict: dict[str, Any], cfg: ConfigLlama3_2, xp=np) -> di
         "layers": layers,
         "final_norm": state_dict["model.norm.weight"],
     }
-    # Tied models (Llama 3.2 1B/3B) carry no lm_head; if an untied head is present
-    # it is intentionally ignored — the architecture here is tied by construction
-    # (ref: ssi/extend_llama3_2/__init__.py:102 TiedLinear).
+    if cfg.tied_embeddings:
+        # Tied models (Llama 3.2 1B/3B) carry no lm_head; if one is present in the
+        # file it is intentionally ignored — the architecture is tied by
+        # construction (ref: ssi/extend_llama3_2/__init__.py:102 TiedLinear).
+        return params
+    if "lm_head.weight" not in state_dict:
+        raise KeyError(
+            f"{cfg.checkpoint_expectations.model_name} is untied (tied_embeddings=False) "
+            "but the checkpoint has no lm_head.weight"
+        )
+    params["lm_head"] = state_dict["lm_head.weight"]
     return params
 
 
@@ -59,6 +67,8 @@ def internal_to_hf(params: dict[str, Any], cfg: ConfigLlama3_2, xp=np) -> dict[s
         "model.embed_tokens.weight": params["embed"],
         "model.norm.weight": params["final_norm"],
     }
+    if "lm_head" in params:
+        out["lm_head.weight"] = params["lm_head"]
     for internal_key, hf_tmpl, transpose in _LAYER_MAP:
         stacked = params["layers"][internal_key]
         for i in range(cfg.num_layers):
@@ -69,6 +79,8 @@ def internal_to_hf(params: dict[str, Any], cfg: ConfigLlama3_2, xp=np) -> dict[s
 
 def expected_hf_keys(cfg: ConfigLlama3_2) -> set[str]:
     keys = {"model.embed_tokens.weight", "model.norm.weight"}
+    if not cfg.tied_embeddings:
+        keys.add("lm_head.weight")
     for _, hf_tmpl, _ in _LAYER_MAP:
         for i in range(cfg.num_layers):
             keys.add(hf_tmpl.format(i=i))

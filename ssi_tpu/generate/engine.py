@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssi_tpu.models.configs import ConfigLlama3_2
-from ssi_tpu.models.llama3 import forward_slots
+from ssi_tpu.models.llama3 import forward_slots, unembed
 
 LOGGER = logging.getLogger(__name__)
 
@@ -157,7 +157,7 @@ class DecodeEngine:
             }
             hidden, cache = forward_slots(params, tokens_padded, cfg, cache, jnp.int32(0), pad_offsets, p)
             last_logits = jnp.dot(
-                hidden[:, -1, :], params["embed"].T, preferred_element_type=jnp.float32
+                hidden[:, -1, :], unembed(params).T, preferred_element_type=jnp.float32
             )  # [B, V]
 
             if sp.uses_penalties:
@@ -186,7 +186,7 @@ class DecodeEngine:
             def body(state):
                 t, done, tok, out, lens, cache, out_counts, key, clp = state
                 hidden, cache = forward_slots(params, tok[:, None], cfg, cache, p - 1 + t, pad_offsets, 1)
-                logits = jnp.dot(hidden[:, 0, :], params["embed"].T, preferred_element_type=jnp.float32)
+                logits = jnp.dot(hidden[:, 0, :], unembed(params).T, preferred_element_type=jnp.float32)
                 if sp.uses_penalties:
                     out_counts = out_counts.at[jnp.arange(b), tok].add(jnp.where(done, 0.0, 1.0))
                 next_tok, key, lp = _sample(logits, sp, key, out_counts, prompt_counts)

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from ssi_tpu.generate.quant import matmul as _mm
 from ssi_tpu.models.configs import ConfigLlama3_2
-from ssi_tpu.models.llama3 import rms_norm
+from ssi_tpu.models.llama3 import rms_norm, unembed
 from ssi_tpu.models.rope import apply_rope, rope_cos_sin
 
 NEG_INF = -1.0e30
@@ -279,7 +279,7 @@ def decode_step_tokens(
 
     h, kp, vp = _layer_scan(params, cfg, h, pools["k"], pools["v"], cos, sin, attend)
     h = rms_norm(h[:, 0], params["final_norm"], cfg.norm_eps)
-    logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
+    logits = jnp.dot(h, unembed(params).T, preferred_element_type=jnp.float32)
     return logits, {"k": kp, "v": vp}
 
 
@@ -365,7 +365,7 @@ def decode_step_tokens_spec(
 
     h, kp, vp = _layer_scan(params, cfg, h, pools["k"], pools["v"], cos, sin, attend)
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
-    logits = jnp.dot(h, params["embed"].T, preferred_element_type=jnp.float32)
+    logits = jnp.dot(h, unembed(params).T, preferred_element_type=jnp.float32)
     return logits, {"k": kp, "v": vp}
 
 

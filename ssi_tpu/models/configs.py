@@ -43,6 +43,10 @@ class ConfigLlama3_2:
     scale_factor: int
     n_dsus: int = 0
     modality_tokens: bool = False
+    # Llama 3.2 1B/3B tie the output projection to the embedding (the reference's
+    # TiedLinear, ref: ssi/extend_llama3_2/__init__.py:102); Llama 3.1 8B ships a
+    # separate lm_head.
+    tied_embeddings: bool = True
     # RoPE llama3-scaling shape parameters (fixed across Llama 3.x releases)
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
@@ -77,9 +81,10 @@ class ConfigLlama3_2:
 
     @property
     def checkpoint_expectations(self) -> ModelCheckpointExpectations:
-        size_label = {2048: "1B", 3072: "3B"}.get(self.embed_dim, f"{self.embed_dim}d")
+        size_label = {2048: "1B", 3072: "3B", 4096: "8B"}.get(self.embed_dim, f"{self.embed_dim}d")
+        family = "3.1" if self.embed_dim == 4096 else "3.2"
         return ModelCheckpointExpectations(
-            model_name=f"Llama 3.2 {size_label}",
+            model_name=f"Llama {family} {size_label}",
             n_shards=self.n_checkpoint_shards,
             num_layers=self.num_layers,
             hidden_size=self.embed_dim,
@@ -121,6 +126,28 @@ configllama3_2_3b = ConfigLlama3_2(
     n_checkpoint_shards=2,  # meta-llama/Llama-3.2-3B ships model-0000{1,2}-of-00002
 )
 
+# BASELINE "stretch" scale (driver BASELINE.json configs[4]: Llama-3-8B): the
+# Llama 3.1 8B architecture with the same dynamic DSU-vocab arithmetic. The 8B
+# model does not fit a single 16 GB v5e chip for training (bf16 params+moments
+# alone are ~48 GB) — it is the multi-chip FSDP/TP target; weight-only int8
+# decode (~8 GB + KV) fits one chip.
+configllama3_1_8b = ConfigLlama3_2(
+    base_vocab_size_txt=128_000,
+    n_special_txt=256,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    embed_dim=4096,
+    max_seq_len=131072,
+    intermediate_dim=14336,
+    attn_dropout=0.0,
+    norm_eps=1e-5,
+    rope_base=500_000,
+    scale_factor=8,  # Llama 3.1 rope scaling factor (3.2's 1B/3B use 32)
+    n_checkpoint_shards=4,  # meta-llama/Llama-3.1-8B ships model-0000{1..4}-of-00004
+    tied_embeddings=False,  # 8B has a separate lm_head (1B/3B tie)
+)
+
 # Tiny architecture for CPU tests and CI smoke runs (not a reference model).
 config_tiny_test = ConfigLlama3_2(
     base_vocab_size_txt=256,
@@ -142,6 +169,7 @@ config_tiny_test = ConfigLlama3_2(
 MODEL_CONFIGS: dict[str, ConfigLlama3_2] = {
     "llama3_2_1b": configllama3_2_1b,
     "llama3_2_3b": configllama3_2_3b,
+    "llama3_1_8b": configllama3_1_8b,
     "tiny_test": config_tiny_test,
 }
 

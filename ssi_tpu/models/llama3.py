@@ -150,9 +150,16 @@ def forward(
     return rms_norm(h, params["final_norm"], cfg.norm_eps)
 
 
+def unembed(params: Params) -> jnp.ndarray:
+    """The output-projection matrix ``[V, D]``: the tied embedding (Llama 3.2
+    1B/3B) or the separate ``lm_head`` when the checkpoint ships one (Llama 3.1
+    8B, ``tied_embeddings=False``)."""
+    return params.get("lm_head", params["embed"])
+
+
 def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
-    """Tied-embedding output projection (fp32 logits)."""
-    return jnp.dot(hidden, params["embed"].T, preferred_element_type=jnp.float32)
+    """Output projection (fp32 logits); tied or untied per the param tree."""
+    return jnp.dot(hidden, unembed(params).T, preferred_element_type=jnp.float32)
 
 
 # ----------------------------------------------------------------------------------
@@ -261,7 +268,8 @@ def init_params(cfg: ConfigLlama3_2, key: jax.Array, dtype=jnp.bfloat16) -> Para
     def norm_init(k, shape, fan_in):
         return (jax.random.normal(k, shape, jnp.float32) * (fan_in**-0.5)).astype(dtype)
 
-    return {
+    extra = {} if cfg.tied_embeddings else {"lm_head": norm_init(keys[8], (v, d), d)}
+    return extra | {
         "embed": norm_init(keys[0], (v, d), d),
         "layers": {
             "attn_norm": jnp.ones((nl, d), dtype),

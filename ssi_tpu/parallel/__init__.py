@@ -241,6 +241,7 @@ def param_specs(params: Any) -> Any:
     """PartitionSpec pytree for the stacked Llama params (tp sharding rules)."""
     specs = {
         "embed": P("tp", None),  # vocab-sharded: distributes fused-CE logits too
+        "lm_head": P("tp", None),  # untied output head (8B): same vocab sharding
         "final_norm": P(),
         "layers": {
             "attn_norm": P(),

@@ -81,7 +81,9 @@ def make_loss_fn(
         else:
             y = shift_labels_packed(labels, segment_ids).reshape(-1)
         h = hidden.reshape(-1, hidden.shape[-1])
-        loss_sum = fused_cross_entropy(h, params["embed"], y, chunk_size)
+        # tied embedding (1B/3B) or the separate lm_head (8B) — the fused CE only
+        # needs "the [V, D] output matrix", whichever the architecture ships
+        loss_sum = fused_cross_entropy(h, params.get("lm_head", params["embed"]), y, chunk_size)
         num_tokens = jnp.sum(y != CROSS_ENTROPY_IGNORE_IDX).astype(jnp.int32)
         return loss_sum, num_tokens
 
