@@ -54,7 +54,7 @@ CPT_SHAPE = (4, 16, 768, "save_qkv_mlp", 3072)
 SFT_SHAPE = (2, 4, 2048, "save_qkv_mlp", 2048)
 
 
-def _measure(shape, packed: bool = False, steps: int = STEPS) -> float:
+def _measure(shape, packed: bool = False, steps: int = STEPS, detail: bool = False):
     from ssi_tpu.models.configs import configllama3_2_1b
     from ssi_tpu.models.llama3 import init_params
     from ssi_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated, shard_params
@@ -124,7 +124,85 @@ def _measure(shape, packed: bool = False, steps: int = STEPS) -> float:
         state, metrics = step(state, *args)
         float(metrics["loss_sum"])
         times.append(time.perf_counter() - t0)
-    return tokens_per_step / float(np.median(times)) / n_chips
+    step_time = float(np.median(times))
+    tok_s = tokens_per_step / step_time / n_chips
+    if detail:
+        return tok_s, step_time, tokens_per_step
+    return tok_s
+
+
+def model_flops_per_token(cfg, seq: int) -> float:
+    """Mandatory fwd+bwd matmul FLOPs per token (PaLM MFU convention: remat
+    recompute counts as overhead, not useful work — so MFU is honest about the
+    cost of rematerialization)."""
+    d, f, hd = cfg.embed_dim, cfg.intermediate_dim, cfg.head_dim
+    hq, hkv, nl, v = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers, cfg.vocab_size
+    per_layer = (
+        2 * d * (hq * hd)          # wq
+        + 2 * 2 * d * (hkv * hd)   # wk, wv
+        + 2 * (hq * hd) * d        # wo
+        + 3 * 2 * d * f            # w_gate, w_up, w_down
+        + 2 * 2 * hq * hd * (seq / 2)  # causal attention: scores + values over ~seq/2 keys
+    )
+    fwd = nl * per_layer + 2 * d * v  # + unembed/CE projection
+    return 3.0 * fwd  # fwd + 2x-fwd backward
+
+
+def peak_flops_per_chip() -> float | None:
+    """Peak dense bf16 FLOP/s for the attached chip generation, or None."""
+    kind = jax.devices()[0].device_kind.lower()
+    for tag, peak in (
+        ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+        ("v6 lite", 918e12), ("v6e", 918e12), ("v4", 275e12),
+    ):
+        if tag in kind:
+            return peak
+    return None
+
+
+def _measure_decomposition(shape, steps: int = 6) -> dict:
+    """Attributable step-time decomposition at the CPT shape: time (a) the
+    loss-only forward, (b) value_and_grad, (c) the full optimizer step, all
+    with identical per-step host sync. fwd ~= a, bwd ~= b - a, optimizer +
+    accum machinery ~= c - b. Regression in any one component is then visible
+    in the driver-captured artifact instead of folded into one number."""
+    from ssi_tpu.models.configs import configllama3_2_1b
+    from ssi_tpu.models.llama3 import init_params
+    from ssi_tpu.train.step import make_loss_fn
+
+    batch, accum, seq, remat, chunk = shape
+    cfg = configllama3_2_1b.copy()
+    cfg.n_dsus = 5000
+    cfg.modality_tokens = True
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    loss_fn = make_loss_fn(cfg, remat=remat, chunk_size=chunk)
+
+    # micro-batch shape (the unit the accum scan executes); the window cost is
+    # accum x these — a whole-window single grad would blow the activation HBM
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+
+    def micro_loss(p, tk):
+        s, n = loss_fn(p, tk, tk)
+        return s / jnp.maximum(n, 1)
+
+    fwd_fn = jax.jit(micro_loss)
+    grad_fn = jax.jit(jax.grad(micro_loss))
+
+    def timed(fn, sync):
+        out = fn(params, tokens)
+        sync(out)
+        ts = []
+        for _ in range(steps):
+            t0 = time.perf_counter()
+            out = fn(params, tokens)
+            sync(out)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_fwd = timed(fwd_fn, lambda o: float(o))
+    t_grad = timed(grad_fn, lambda o: float(jnp.sum(o["final_norm"])))
+    return {"micro_fwd_s": t_fwd, "micro_fwd_bwd_s": t_grad, "accum": accum}
 
 
 def _measure_paged_decode(quantize=None) -> float:
@@ -162,11 +240,28 @@ def _measure_paged_decode(quantize=None) -> float:
 
 
 def main() -> None:
-    cpt = _measure(CPT_SHAPE)
+    cpt, cpt_step_s, cpt_tokens = _measure(CPT_SHAPE, detail=True)
     sft = _measure(SFT_SHAPE, steps=6)
     packed = _measure(CPT_SHAPE, packed=True, steps=6)
+    decomp = _measure_decomposition(CPT_SHAPE)
     paged = _measure_paged_decode()
     paged_int8 = _measure_paged_decode(quantize="int8")
+
+    # MFU: mandatory model FLOPs (remat recompute = overhead) / chip peak
+    from ssi_tpu.models.configs import configllama3_2_1b
+
+    cfg = configllama3_2_1b.copy()
+    cfg.n_dsus = 5000
+    cfg.modality_tokens = True
+    flops_tok = model_flops_per_token(cfg, CPT_SHAPE[2])
+    peak = peak_flops_per_chip()
+    mfu = (cpt * flops_tok / peak) if peak else None
+
+    # decomposition of the optimizer step: fwd / bwd scaled from the micro-batch
+    # timings x accum; the residual is optimizer update + accumulation machinery
+    fwd_s = decomp["micro_fwd_s"] * decomp["accum"]
+    bwd_s = (decomp["micro_fwd_bwd_s"] - decomp["micro_fwd_s"]) * decomp["accum"]
+    other_s = max(cpt_step_s - decomp["micro_fwd_bwd_s"] * decomp["accum"], 0.0)
     print(
         json.dumps(
             {
@@ -175,6 +270,15 @@ def main() -> None:
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(cpt / BASELINE_TOKENS_PER_SEC, 3),
                 "extra": {
+                    "mfu": round(mfu, 4) if mfu is not None else None,
+                    "model_flops_per_token": round(flops_tok),
+                    "peak_flops_per_chip": peak,
+                    "step_time_s": round(cpt_step_s, 4),
+                    "step_decomposition_s": {
+                        "fwd": round(fwd_s, 4),
+                        "bwd": round(bwd_s, 4),
+                        "opt_and_accum": round(other_s, 4),
+                    },
                     "sft_tokens_per_sec_bs2x2048": round(sft, 1),
                     "packed_cpt_tokens_per_sec": round(packed, 1),
                     "paged_decode_tok_s": round(paged, 1),
