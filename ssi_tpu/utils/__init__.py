@@ -95,6 +95,21 @@ def sanitize_wandb_run_json_config(run_json_config: dict) -> dict:
     return {k: v["value"] for k, v in run_json_config.items() if k != "_wandb"}
 
 
+def extract_wandb_run_cfg(run: Any) -> Any:
+    """Sanitised config from a W&B API Run object (ref: ssi/utils.py:90-93).
+
+    Duck-typed on ``run.json_config`` (wandb.apis.public.runs.Run) so callers —
+    e.g. scripts/plot_wandb_losses.py pulling historical runs from the W&B API —
+    work without importing wandb here. Returns a Config (our OmegaConf-subset
+    container, attribute+key access like the reference's DictConfig).
+    """
+    import json as _json
+
+    from ssi_tpu.config import Config
+
+    return Config(sanitize_wandb_run_json_config(_json.loads(run.json_config)))
+
+
 def parse_hf_repo_id(repo_id: str) -> dict[str, str]:
     """Parse "owner/<dataset>-<speech_encoder>-<encoder_layer>" (ref: ssi/utils.py:95-109)."""
     owner, train_dataset_name = repo_id.split("/")

@@ -155,3 +155,22 @@ def test_job_logging_applied_at_runtime(tmp_path):
         for h in list(root.handlers):
             root.removeHandler(h)
         logging.basicConfig(level=logging.INFO)
+
+
+def test_extract_wandb_run_cfg_duck_typed():
+    """W&B API Run -> sanitized Config (ref: ssi/utils.py:90-93), no wandb import."""
+    import json
+    from types import SimpleNamespace
+
+    from ssi_tpu.utils import extract_wandb_run_cfg, sanitize_wandb_run_json_config
+
+    raw = {
+        "optimizer": {"desc": None, "value": {"lr": 2e-4}},
+        "seed": {"desc": "rng", "value": 42831},
+        "_wandb": {"desc": None, "value": {"cli_version": "0.0"}},
+    }
+    assert sanitize_wandb_run_json_config(raw) == {"optimizer": {"lr": 2e-4}, "seed": 42831}
+    cfg = extract_wandb_run_cfg(SimpleNamespace(json_config=json.dumps(raw)))
+    assert cfg.optimizer.lr == 2e-4
+    assert cfg["seed"] == 42831
+    assert "_wandb" not in cfg
