@@ -76,6 +76,25 @@ def _ragged_workload(cfg):
     return prompts, stops
 
 
+def measure_hbm_bw() -> float:
+    """Achieved HBM bandwidth (bytes/s) via a saturating jitted triad over a
+    1 GiB bf16 buffer (1 read + 1 write stream). This is the MEASURED bound the
+    decode roofline divides by — marketing peak (819 GB/s on v5e) is not
+    achievable even by a pure copy."""
+    n = 512 * 1024 * 1024  # 1 GiB of bf16
+    x = jnp.zeros((n,), jnp.bfloat16)
+    f = jax.jit(lambda a: a + jnp.bfloat16(1.0))
+    y = f(x)
+    float(y[0])  # compile + warm
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = f(y)
+        float(y[0])  # full host sync (axon queue drain)
+        best = max(best, 2 * n * 2 / (time.perf_counter() - t0))
+    return best
+
+
 def bench_ragged(cfg, params, kind, n_runs: int = 1, quantize=None):
     from ssi_tpu.generate.engine import DecodeEngine, SamplingParams
     from ssi_tpu.generate.paged_engine import PagedDecodeEngine
@@ -83,6 +102,7 @@ def bench_ragged(cfg, params, kind, n_runs: int = 1, quantize=None):
     prompts, stops = _ragged_workload(cfg)
     sp = SamplingParams(temperature=0.0, max_tokens=MAX_TOKENS, stop_token_ids=stops)
 
+    stats = {}
     if kind == "paged":
         engine = PagedDecodeEngine(
             params, cfg, pad_id=133_006, n_slots=SLOTS,
@@ -111,16 +131,20 @@ def bench_ragged(cfg, params, kind, n_runs: int = 1, quantize=None):
         outs = run()
         dt = time.perf_counter() - t0
         total = sum(len(o["token_ids"]) for o in outs)
-        best = max(best, total / dt)
-    return best, total, [o["token_ids"] for o in outs]
+        if total / dt > best:
+            best = total / dt
+            if kind == "paged":
+                stats = dict(engine.last_stats)
+    return best, total, [o["token_ids"] for o in outs], stats
 
 
 def main() -> None:
     cfg, params = _model()
+    hbm_bw = measure_hbm_bw()
     dense_b8 = bench_dense_b8(cfg, params)
-    dense_rg, dense_total, dense_tok = bench_ragged(cfg, params, "dense")
-    paged_rg, paged_total, paged_tok = bench_ragged(cfg, params, "paged", n_runs=3)
-    int8_rg, _, int8_tok = bench_ragged(cfg, params, "paged", n_runs=3, quantize="int8")
+    dense_rg, dense_total, dense_tok, _ = bench_ragged(cfg, params, "dense")
+    paged_rg, paged_total, paged_tok, pstats = bench_ragged(cfg, params, "paged", n_runs=3)
+    int8_rg, _, int8_tok, istats = bench_ragged(cfg, params, "paged", n_runs=3, quantize="int8")
     # bf16 argmax ties flip between programs on random weights; report the match
     # fraction (fp32-CPU bitwise parity is asserted in tests/test_paged_decode.py)
     match_frac = sum(a == b for a, b in zip(dense_tok, paged_tok)) / len(dense_tok)
@@ -141,6 +165,23 @@ def main() -> None:
         prefix_fracs.append(shared / max(n, 1))
     int8_prefix_agreement = sum(prefix_fracs) / len(prefix_fracs)
 
+    # Measured roofline (VERDICT r3 item 2): the HBM bytes the winning run's
+    # dispatches must move (weights per scan step + per-slot page-rounded KV +
+    # prefill weight streams) over the MEASURED triad bandwidth. ratio_to_bound
+    # is the attributable gap: 1.0 = bandwidth-bound speed of light.
+    def roofline(stats, tok_s):
+        bytes_total = stats.get("weight_bytes", 0.0) + stats.get("kv_bytes", 0.0)
+        if not bytes_total or not stats.get("wall_s"):
+            return {}
+        bound_s = bytes_total / hbm_bw
+        bound_tok_s = stats["tokens_out"] / bound_s
+        return {
+            "weight_gb": round(stats["weight_bytes"] / 1e9, 2),
+            "kv_gb": round(stats["kv_bytes"] / 1e9, 2),
+            "bound_tok_s": round(bound_tok_s, 1),
+            "ratio_to_bound": round(bound_tok_s / tok_s, 2),
+        }
+
     print(
         json.dumps(
             {
@@ -157,6 +198,9 @@ def main() -> None:
                     "greedy_match_fraction_vs_dense": round(match_frac, 3),
                     "int8_exact_sequence_agreement": round(exact, 3),
                     "int8_greedy_prefix_agreement": round(int8_prefix_agreement, 3),
+                    "hbm_bw_gbs": round(hbm_bw / 1e9, 1),
+                    "roofline_bf16": roofline(pstats, paged_rg),
+                    "roofline_int8": roofline(istats, int8_rg),
                 },
             }
         )

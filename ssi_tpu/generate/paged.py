@@ -246,7 +246,11 @@ def decode_step_tokens(
     page_idx = seq_lens // ps
     logical_ids = jnp.take_along_axis(page_table, page_idx[:, None], axis=1)[:, 0]
     offsets = seq_lens % ps
-    attn_lens = seq_lens + 1  # attend over history + self (inactive slots masked upstream)
+    # attend over history + self; inactive slots (done/freed) get attn_len 0 so
+    # the kernel DMAs ZERO history pages for them — a done slot idling through
+    # its pipeline-depth tail otherwise keeps streaming its whole cache every
+    # step of every layer (their outputs are where-discarded upstream anyway)
+    attn_lens = jnp.where(active, seq_lens + 1, 0)
 
     h = params["embed"][tokens][:, None, :]  # [slots, 1, D]
 

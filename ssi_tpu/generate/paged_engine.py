@@ -424,6 +424,11 @@ class PagedDecodeEngine:
         self._cache_lru: OrderedDict[int, None] = OrderedDict()
         self._copy_fn_cache: dict[int, Any] = {}
         self._slots = [_Slot() for _ in range(n_slots)]
+        # roofline accounting: HBM bytes one weights stream costs (int8 trees
+        # count their int8 data + scales — whatever the tree actually holds)
+        self._weight_bytes = int(
+            sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params))
+        )
         # host mirrors of device state
         self._page_table = np.zeros((n_slots, self.max_pages_per_seq), np.int32)
         self._prefill_cache: dict[tuple[int, int], Any] = {}
@@ -975,6 +980,8 @@ class PagedDecodeEngine:
             "prefill_block_s": 0.0,
             "harvest_block_s": 0.0,    # blocked in device_get for chunk results
             "verify_steps": 0,         # spec mode: advancing verify forwards
+            "kv_bytes": 0.0,           # roofline: KV page bytes decode chunks DMA
+            "weight_bytes": 0.0,       # roofline: weight bytes streamed (decode + prefill)
             "wall_s": 0.0,
         }
         st.t_start = time.perf_counter()
@@ -1391,6 +1398,7 @@ class PagedDecodeEngine:
             st.stats["prefill_dispatches"] += 1
             st.stats["prefill_rows"] += len(batch)
             st.stats["prefill_token_area"] += g * bucket
+            st.stats["weight_bytes"] += self._weight_bytes
 
         # suffix passes: merge contiguous same-suffix-bucket runs only, so the
         # dispatch sequence preserves admission order (writer-before-reader)
@@ -1527,6 +1535,7 @@ class PagedDecodeEngine:
         st.stats["prefill_dispatches"] += 1
         st.stats["prefill_rows"] += g
         st.stats["prefill_token_area"] += g * s_bucket
+        st.stats["weight_bytes"] += self._weight_bytes
 
     def _advance_prefills(self) -> None:
         """Dispatch ONE piece per chunk-prefilling slot (batched when pieces
@@ -1844,6 +1853,23 @@ class PagedDecodeEngine:
         st.stats["dispatch_block_s"] += time.perf_counter() - t0
         st.stats["chunk_dispatches"] += 1
         st.stats["slot_chunks"] += len(runnable)
+        # roofline accounting (non-spec path; the spec chunk's window reads
+        # vary with acceptance): each scan step streams the weights once and
+        # DMAs each runnable slot's page-rounded history (inactive slots DMA
+        # nothing — decode_step_tokens zeroes their attn_lens)
+        if self.speculate_k == 0:
+            t_mult = np.arange(self.chunk, dtype=np.int64)
+            hl = np.array(
+                [self._slots[i].seq_len + self.chunk * chunks_ahead.get(i, 0) for i in runnable],
+                np.int64,
+            )
+            pages = -(-(hl[:, None] + t_mult[None, :]) // self.page_size)  # ceil
+            kvd = self.pools["k"].shape[2]
+            st.stats["kv_bytes"] += (
+                float(pages.sum()) * self.page_size * kvd
+                * self.pools["k"].dtype.itemsize * 2 * self.cfg.num_layers
+            )
+            st.stats["weight_bytes"] += self.chunk * self._weight_bytes
         st.suspend_admission = False  # a chunk dispatched: progress is real
         packed.copy_to_host_async()  # ONE transfer request now (the old
         # 4-array layout made this a loss: four extra per-chunk requests
