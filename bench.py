@@ -190,14 +190,19 @@ def _measure_decomposition(shape, steps: int = 6) -> dict:
     grad_fn = jax.jit(jax.grad(micro_loss))
 
     def timed(fn, sync):
+        # Queue `accum` async dispatches per host sync: one tunnel round-trip
+        # (~100 ms here) is amortized over the window exactly as the fused
+        # accumulation scan amortizes it, so micro x accum is comparable to
+        # the real step time instead of carrying accum extra RTTs.
         out = fn(params, tokens)
         sync(out)
         ts = []
         for _ in range(steps):
             t0 = time.perf_counter()
-            out = fn(params, tokens)
+            for _ in range(accum):
+                out = fn(params, tokens)
             sync(out)
-            ts.append(time.perf_counter() - t0)
+            ts.append((time.perf_counter() - t0) / accum)
         return float(np.median(ts))
 
     t_fwd = timed(fwd_fn, lambda o: float(o))
@@ -237,6 +242,30 @@ def _measure_paged_decode(quantize=None) -> float:
         dt = time.perf_counter() - t0
         best = max(best, sum(len(o["token_ids"]) for o in outs) / dt)
     return best
+
+
+def _committed_3b_decode() -> dict:
+    """3B paged-decode numbers from the committed artifact (not re-measured
+    here: a cold 3B engine compile through the dev tunnel would add ~10 min to
+    every driver bench run). Reproduce live with tools/bench_3b_decode.py;
+    provenance fields travel with the values."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts", "bench_3b_decode.json")
+    try:
+        with open(path) as f:
+            art = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    d = art.get("detail", {})
+    return {
+        "paged_decode_3b": {
+            "source": "artifacts/bench_3b_decode.json (measured on this chip by tools/bench_3b_decode.py; not re-run per bench invocation)",
+            "bf16_tok_s": d.get("paged_bf16_ragged"),
+            "int8_tok_s": d.get("paged_int8_ragged"),
+            "slots": d.get("slots"),
+            "roofline_bf16": d.get("roofline_bf16"),
+            "roofline_int8": d.get("roofline_int8"),
+        }
+    }
 
 
 def main() -> None:
@@ -284,6 +313,7 @@ def main() -> None:
                     "paged_decode_tok_s": round(paged, 1),
                     "paged_decode_int8_tok_s": round(paged_int8, 1),
                     "paged_decode_int8_ratio": round(paged_int8 / paged, 3),
+                    **_committed_3b_decode(),
                 },
             }
         )

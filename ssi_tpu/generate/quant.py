@@ -22,19 +22,34 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["quantize_layer_weights_int8", "matmul"]
 
 _LAYER_MATMULS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def _quantize(w: jnp.ndarray) -> dict[str, jnp.ndarray]:
-    """Per-output-channel symmetric int8: w [L, in, out] -> int8 + bf16 scale."""
-    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)  # [L, 1, out]
+def _quantize_one(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One layer [in, out] -> (int8 [in, out], bf16 scale [1, out])."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-    return {"q": q, "scale": scale.astype(jnp.bfloat16)}
+    return q, scale.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _quantize(w: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    """Per-output-channel symmetric int8: w [L, in, out] -> int8 + bf16 scale.
+
+    lax.map over the stacked layer axis bounds the f32 upcast transients to one
+    layer (~100 MB at 3B) instead of the whole stack (~2.8 GB) — quantizing 3B+
+    checkpoints must not OOM the chip that is about to serve them. Per-layer
+    math is unchanged, so quantized values are bit-identical to the fused form.
+    """
+    q, scale = lax.map(_quantize_one, w)
+    return {"q": q, "scale": scale}
 
 
 def quantize_layer_weights_int8(params: Any) -> Any:
