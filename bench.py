@@ -230,7 +230,7 @@ def _measure_paged_decode(quantize=None) -> float:
     stops = tuple(int(t) for t in rng.choice(cfg.vocab_size, cfg.vocab_size // 100, replace=False))
     sp = SamplingParams(temperature=0.0, max_tokens=max_tokens, stop_token_ids=stops)
     engine = PagedDecodeEngine(
-        params, cfg, pad_id=133_006, n_slots=48,
+        params, cfg, pad_id=133_006, n_slots=96,  # measured-optimal (bench_decode.SLOTS note)
         max_context=max(len(p) for p in prompts) + max_tokens,
         quantize=quantize,
     )

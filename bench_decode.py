@@ -36,7 +36,11 @@ import numpy as np
 
 MAX_TOKENS = 256
 N_RAGGED = 96
-SLOTS = 48  # measured-optimal on v5e (32: 2.5k tok/s, 48: 3.1k, 64: 2.9k — occupancy dilutes)
+SLOTS = 96  # measured-optimal on v5e for the 96-request ragged workload (round 4,
+# tools/bench_slots_sweep.py: 48: 5.4k tok/s, 64: 6.1k, 96: 7.8k — each decode
+# step streams the full weight stack once, so more active slots amortize the
+# same weight bytes over more tokens; the earlier 48-slot optimum predates the
+# packed-control admission fix that removed the per-chunk host overhead)
 CHUNK = 16  # engine default decode steps per dispatch (PagedDecodeEngine.chunk)
 DENSE_BATCH = 32
 

@@ -22,12 +22,16 @@ import numpy as np
 
 from ssi_tpu.generate.engine import SamplingParams
 from ssi_tpu.generate.paged_engine import PagedDecodeEngine
-from ssi_tpu.models.configs import configllama3_2_1b
+from ssi_tpu.models.configs import MODEL_CONFIGS, configllama3_2_1b
 from ssi_tpu.models.llama3 import init_params
 
 
 def main() -> None:
-    cfg = configllama3_2_1b.copy()
+    kwargs = {}
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        kwargs[k] = int(v) if v.isdigit() else v
+    cfg = MODEL_CONFIGS[kwargs.pop("model")].copy() if "model" in kwargs else configllama3_2_1b.copy()
     cfg.n_dsus = 5000
     cfg.modality_tokens = True
     params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
@@ -36,10 +40,6 @@ def main() -> None:
     prompts = [rng.integers(0, 128_000, int(n)).tolist() for n in rng.integers(50, 700, 96)]
     stops = tuple(int(t) for t in rng.choice(cfg.vocab_size, cfg.vocab_size // 100, replace=False))
     sp = SamplingParams(temperature=0.0, max_tokens=max_tokens, stop_token_ids=stops)
-    kwargs = {}
-    for a in sys.argv[1:]:
-        k, v = a.split("=")
-        kwargs[k] = int(v) if v.isdigit() else v
     engine = PagedDecodeEngine(
         params, cfg, pad_id=133_006, n_slots=kwargs.pop("n_slots", 48),
         max_context=max(len(p) for p in prompts) + max_tokens, **kwargs,

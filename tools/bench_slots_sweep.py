@@ -36,17 +36,20 @@ CHUNK = 16
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, nargs="+", default=[48, 64, 96])
+    ap.add_argument("--chunk", type=int, nargs="+", default=[CHUNK])
+    ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--quantize", default=None)
+    ap.add_argument("--model", default="llama3_2_1b")
     args = ap.parse_args()
 
     from bench_decode import _ragged_workload, measure_hbm_bw
     from ssi_tpu.generate.engine import SamplingParams
     from ssi_tpu.generate.paged_engine import PagedDecodeEngine
-    from ssi_tpu.models.configs import configllama3_2_1b
+    from ssi_tpu.models.configs import MODEL_CONFIGS
     from ssi_tpu.models.llama3 import init_params
 
-    cfg = configllama3_2_1b.copy()
+    cfg = MODEL_CONFIGS[args.model].copy()
     cfg.n_dsus = 5000
     cfg.modality_tokens = True
 
@@ -56,10 +59,12 @@ def main() -> None:
     sp = SamplingParams(temperature=0.0, max_tokens=MAX_TOKENS, stop_token_ids=stops)
     max_context = max(len(p) for p in prompts) + MAX_TOKENS
 
-    for n_slots in args.slots:
+    configs = [(s, c) for s in args.slots for c in args.chunk]
+    for n_slots, chunk in configs:
+        kw = {} if args.depth is None else {"pipeline_depth": args.depth}
         engine = PagedDecodeEngine(
             params, cfg, pad_id=133_006, n_slots=n_slots,
-            max_context=max_context, quantize=args.quantize,
+            max_context=max_context, quantize=args.quantize, chunk=chunk, **kw,
         )
         engine.generate_batch(prompts, sp)  # compile + warmup
         best, stats = 0.0, {}
@@ -75,6 +80,8 @@ def main() -> None:
         bound = stats["tokens_out"] / (bytes_total / hbm_bw) if bytes_total else None
         print(json.dumps({
             "slots": n_slots,
+            "chunk": chunk,
+            "quantize": args.quantize,
             "tok_s": round(best, 1),
             "bound_tok_s": round(bound, 1) if bound else None,
             "ratio_to_bound": round(bound / best, 2) if bound else None,

@@ -37,6 +37,14 @@ CONFIGS = {
     "b2a32_none_c1536": (2, 32, "none", 1536),
     "b8a8_save_qkv_c3072": (8, 8, "save_qkv", 3072),
     "b4a16_save_mlp_c3072": (4, 16, "save_mlp", 3072),
+    # round-4 re-sweep: the kernels changed a lot since the micro4xaccum16
+    # optimum was picked; larger micro-batches halve the per-step weight
+    # streaming (accum x ~3 weight reads/step), if they still fit HBM.
+    "b8a8_save_qkv_mlp_c3072": (8, 8, "save_qkv_mlp", 3072),
+    "b16a4_save_qkv_mlp_c3072": (16, 4, "save_qkv_mlp", 3072),
+    "b8a8_save_qkv_mlp_attn_c3072": (8, 8, "save_qkv_mlp_attn", 3072),
+    "b4a16_save_qkv_mlp_attn_c3072": (4, 16, "save_qkv_mlp_attn", 3072),
+    "b16a4_save_qkv_mlp_attn_c3072": (16, 4, "save_qkv_mlp_attn", 3072),
 }
 
 
