@@ -62,7 +62,9 @@ def _measure(shape, packed: bool = False, steps: int = STEPS, detail: bool = Fal
     from ssi_tpu.train.optimizer import AdamWConfig, init_opt_state
     from ssi_tpu.train.step import make_train_step
 
-    batch, accum, seq, remat, chunk = shape
+    # optional 6th element: attention impl override ("pallas" | "pallas_grouped")
+    attn_impl = shape[5] if len(shape) > 5 else "auto"
+    batch, accum, seq, remat, chunk = shape[:5]
     cfg = configllama3_2_1b.copy()
     cfg.n_dsus = 5000
     cfg.modality_tokens = True
@@ -88,7 +90,7 @@ def _measure(shape, packed: bool = False, steps: int = STEPS, detail: bool = Fal
     schedule = cosine_schedule_with_warmup(2e-4, 1000, 100_000)
     step = make_train_step(
         cfg, opt_cfg, schedule, clip_grad_norm=None, chunk_size=chunk,
-        remat=remat,
+        remat=remat, attn_impl=attn_impl,
         grad_accum_dtype=jnp.bfloat16,  # torch-parity: reference accumulates in bf16 .grad buffers
     )
 

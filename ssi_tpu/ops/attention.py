@@ -95,10 +95,14 @@ def dispatch_attention(
         impl = "pallas" if q.shape[1] >= AUTO_PALLAS_MIN_SEQ else "xla"
     if impl == "xla":
         return xla_attention(q, k, v, causal=causal, segment_ids=segment_ids)
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_grouped"):
         from ssi_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=causal, segment_ids=segment_ids)
+        # "pallas" auto-selects head grouping by VMEM fit; "pallas_grouped" forces it
+        return flash_attention(
+            q, k, v, causal=causal, segment_ids=segment_ids,
+            group_heads=True if impl == "pallas_grouped" else None,
+        )
     raise ValueError(f"Unknown attention impl: {impl!r}")
 
 

@@ -158,6 +158,103 @@ def _fwd(q, k, v, segment_ids, causal, block_q):
     return o, lse
 
 
+def _grouped_causal_mask(qi: int, block_q: int, s_kv: int, n_rep: int):
+    """Causal mask for n_rep stacked query heads (head-major rows): stacked row
+    r maps to q position qi*block_q + (r mod block_q). One fused compare pass
+    for the whole group instead of n_rep separate mask materializations."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_rep * block_q, 1), 0)
+    if block_q & (block_q - 1) == 0:
+        rows = jnp.bitwise_and(rows, block_q - 1)  # r mod bq, power-of-two fast path
+    else:
+        rows = jax.lax.rem(rows, block_q)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s_kv), 1)
+    return cols <= qi * block_q + rows
+
+
+def _fwd_kernel_grouped(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
+                        *, causal, block_q, use_segs, n_rep):
+    """GQA-grouped forward: grid (B, Hkv); one program computes all n_rep query
+    heads of a KV group, stacked head-major into a [n_rep*bq, *] 2D problem
+    (Mosaic lowers only 2D dots). Same math and element count as _fwd_kernel,
+    but 1/n_rep the grid programs (the kernels are latency/VPU-bound at
+    ~1.2 us/program — round-3 profile) and n_rep-fold larger MXU row blocks."""
+    k = k_ref[0, 0]  # [S, D]
+    v = v_ref[0, 0]
+    s_kv = k.shape[0]
+
+    for qi in range(q_ref.shape[2] // block_q):
+        bound = (qi + 1) * block_q if causal else s_kv
+        sl = pl.ds(qi * block_q, block_q)
+        d = q_ref.shape[3]
+        q = q_ref[0, :, sl].reshape(n_rep * block_q, d)  # stacked group (pre-scaled)
+        s = jax.lax.dot_general(
+            q, k[:bound], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [n_rep*bq, bound]
+
+        mask = None
+        if causal:
+            mask = _grouped_causal_mask(qi, block_q, bound, n_rep)
+        if use_segs:
+            qseg = qseg_ref[0, 0, sl]  # [bq]
+            kseg_b = kseg_ref[0, 0, pl.ds(0, bound)]
+            # 2D compare then a sublane-axis concat (1-D concats don't lower):
+            # the same [bq, bound] plane replicated for each stacked head
+            seg_mask_1 = qseg[:, None] == kseg_b[None, :]
+            seg_mask = jnp.concatenate([seg_mask_1] * n_rep, axis=0)
+            mask = seg_mask if mask is None else jnp.logical_and(mask, seg_mask)
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+
+        m = jnp.max(s, axis=1, keepdims=True)  # [n_rep*bq, 1]
+        m_safe = jnp.maximum(m, -0.5e30)
+        p = jnp.exp(s - m_safe)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l_safe = jnp.maximum(l, 1e-30)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[:bound], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [n_rep*bq, D]
+        o_ref[0, :, sl] = (o / l_safe).reshape(n_rep, block_q, d).astype(o_ref.dtype)
+        lse_ref[0, :, sl] = (m_safe + jnp.log(l_safe)).reshape(n_rep, block_q, 1)
+
+
+def _fwd_grouped(q, k, v, segment_ids, causal, block_q):
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    n_rep = hq // hkv
+
+    if segment_ids is None:
+        segs = jnp.zeros((b, 1, s), jnp.int32)
+    else:
+        segs = segment_ids.astype(jnp.int32)[:, None, :]
+
+    kernel = functools.partial(
+        _fwd_kernel_grouped, causal=causal, block_q=block_q,
+        use_segs=segment_ids is not None, n_rep=n_rep,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, n_rep, s, d), lambda bi, gi: (bi, gi, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, gi: (bi, gi, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, gi: (bi, gi, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda bi, gi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda bi, gi: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_rep, s, d), lambda bi, gi: (bi, gi, 0, 0)),
+            pl.BlockSpec((1, n_rep, s, 1), lambda bi, gi: (bi, gi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
+        ],
+    )(q, k, v, segs, segs)
+    return o, lse
+
+
 # ----------------------------------------------------------------------------------
 # Backward: one fused kernel for dq + dk + dv
 # ----------------------------------------------------------------------------------
@@ -265,24 +362,150 @@ def _bwd(q, k, v, segment_ids, o, lse, do, causal, block_q):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+def _bwd_kernel_grouped(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, o_ref,
+                        dq_ref, dk_ref, dv_ref, *, causal, block_q, n_rep, use_segs):
+    """GQA-grouped backward: grid (B, Hkv); the n_rep query heads of a KV group
+    are stacked head-major into 2D [n_rep*bq, *] blocks. The group's dk/dv
+    contributions come out of ONE dot (contracting over all n_rep*bq stacked
+    rows) instead of n_rep sequential f32 read-modify-write accumulation passes
+    over the revisited output block."""
+    k = k_ref[0, 0]  # [S, D]
+    v = v_ref[0, 0]
+    s_kv = k.shape[0]
+    d = q_ref.shape[3]
+    n_q_blocks = q_ref.shape[2] // block_q
+
+    # each (b, kv-head) program owns its dk/dv block exclusively; zero once, then
+    # accumulate across the q-block loop
+    dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+    dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    for qi in range(n_q_blocks):
+        bound = (qi + 1) * block_q if causal else s_kv
+        sl = pl.ds(qi * block_q, block_q)
+        q = q_ref[0, :, sl].reshape(n_rep * block_q, d)    # stacked (pre-scaled)
+        do = do_ref[0, :, sl].reshape(n_rep * block_q, d)
+        lse = lse_ref[0, :, sl].reshape(n_rep * block_q, 1)
+        delta = jnp.sum(
+            o_ref[0, :, sl].reshape(n_rep * block_q, d).astype(jnp.float32)
+            * do.astype(jnp.float32), axis=-1, keepdims=True
+        )  # [n_rep*bq, 1]
+
+        s = jax.lax.dot_general(q, k[:bound], dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = None
+        if causal:
+            mask = _grouped_causal_mask(qi, block_q, bound, n_rep)
+        if use_segs:
+            qseg = qseg_ref[0, 0, sl]  # [bq]
+            kseg_b = kseg_ref[0, 0, pl.ds(0, bound)]
+            # 2D compare then a sublane-axis concat (1-D concats don't lower):
+            # the same [bq, bound] plane replicated for each stacked head
+            seg_mask_1 = qseg[:, None] == kseg_b[None, :]
+            seg_mask = jnp.concatenate([seg_mask_1] * n_rep, axis=0)
+            mask = seg_mask if mask is None else jnp.logical_and(mask, seg_mask)
+        p = jnp.exp(s - lse)  # [n_rep*bq, bound] f32
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+
+        dp = jax.lax.dot_general(do, v[:bound], dimension_numbers=(((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)  # [n_rep*bq, bound] f32
+
+        ksl = pl.ds(0, bound)
+        # one dot per group: contracting over the stacked row axis sums the
+        # n_rep heads' contributions inside the MXU
+        dv_ref[0, 0, ksl] += jax.lax.dot_general(
+            p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_ref[0, 0, ksl] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq = jax.lax.dot_general(ds.astype(k.dtype), k[:bound],
+                                 dimension_numbers=(((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, :, sl] = dq.reshape(n_rep, block_q, d).astype(dq_ref.dtype)
+
+
+def _bwd_grouped(q, k, v, segment_ids, o, lse, do, causal, block_q):
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    n_rep = hq // hkv
+
+    if segment_ids is None:
+        segs = jnp.zeros((b, 1, s), jnp.int32)
+    else:
+        segs = segment_ids.astype(jnp.int32)[:, None, :]
+    use_segs = segment_ids is not None
+
+    grouped = pl.BlockSpec((1, n_rep, s, d), lambda bi, gi: (bi, gi, 0, 0))
+    single = pl.BlockSpec((1, 1, s, d), lambda bi, gi: (bi, gi, 0, 0))
+    segspec = pl.BlockSpec((1, 1, s), lambda bi, gi: (bi, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_grouped, causal=causal, block_q=block_q, n_rep=n_rep, use_segs=use_segs
+        ),
+        grid=(b, hkv),
+        in_specs=[
+            grouped, single, single, segspec, segspec, grouped,
+            pl.BlockSpec((1, n_rep, s, 1), lambda bi, gi: (bi, gi, 0, 0)),
+            grouped,
+        ],
+        out_specs=[grouped, single, single],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hkv, s, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, s, d), jnp.float32),
+        ],
+    )(q, k, v, segs, segs, do, lse, o)
+
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 # ----------------------------------------------------------------------------------
 # Public API (custom VJP, model layout [B, S, H, D])
 # ----------------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_bhsd(q, k, v, segment_ids, causal, block_q):
+def _auto_group_heads(n_rep: int, block_q: int, s: int, d: int) -> bool:
+    """Grouped kernels hold [n_rep*block_q, S] f32 score/probability planes in
+    VMEM (~16 MB/core); estimate the backward's live set and group only when it
+    fits. At the CPT shape (n_rep 4, bq 256, S 768) this is ~11.6 MB — measured
+    working and +1% end-to-end; at S 2048 it would be ~25 MB and Mosaic fails
+    allocation, so long-S shapes stay on the per-head grid."""
+    if n_rep <= 1:
+        return False
+    rows = n_rep * block_q
+    est = (
+        3 * rows * s * 4          # s/p/ds-class [rows, S] f32 planes live in bwd
+        + 4 * n_rep * s * d * 2   # stacked q/do/o/dq blocks (bf16)
+        + 2 * s * d * 2           # k, v (bf16)
+        + 2 * s * d * 4           # dk, dv accumulators (f32)
+    )
+    return est <= 12 * 1024 * 1024
+
+
+def _fwd_dispatch(q, k, v, segment_ids, causal, block_q, group_heads):
+    if group_heads and q.shape[1] != k.shape[1]:
+        return _fwd_grouped(q, k, v, segment_ids, causal, block_q)
+    return _fwd(q, k, v, segment_ids, causal, block_q)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_bhsd(q, k, v, segment_ids, causal, block_q, group_heads):
     # lse is returned as a PRIMAL output (callers discard it) so a remat policy
     # can checkpoint-name BOTH backward residuals: with only o nameable, the
     # backward pass would re-run this whole forward kernel just to regenerate
     # lse (round-3 profile: 113 ms/step of rematted_computation).
-    return _fwd(q, k, v, segment_ids, causal, block_q)
+    return _fwd_dispatch(q, k, v, segment_ids, causal, block_q, group_heads)
 
 
-def _flash_fwd_rule(q, k, v, segment_ids, causal, block_q):
+def _flash_fwd_rule(q, k, v, segment_ids, causal, block_q, group_heads):
     from jax.ad_checkpoint import checkpoint_name
 
-    o, lse = _fwd(q, k, v, segment_ids, causal, block_q)
+    o, lse = _fwd_dispatch(q, k, v, segment_ids, causal, block_q, group_heads)
     # name the RESIDUALS (not just the primal output): the remat policy decides
     # per named value; both o and lse must be saved or the whole forward kernel
     # re-runs in the backward pass to regenerate them
@@ -291,10 +514,13 @@ def _flash_fwd_rule(q, k, v, segment_ids, causal, block_q):
     return (o, lse), (q, k, v, segment_ids, res_o, res_lse)
 
 
-def _flash_bwd_rule(causal, block_q, residuals, cotangents):
+def _flash_bwd_rule(causal, block_q, group_heads, residuals, cotangents):
     q, k, v, segment_ids, o, lse = residuals
     do, _ = cotangents  # lse cotangent is structurally zero (output unused)
-    dq, dk, dv = _bwd(q, k, v, segment_ids, o, lse, do, causal, block_q)
+    if group_heads and q.shape[1] != k.shape[1]:
+        dq, dk, dv = _bwd_grouped(q, k, v, segment_ids, o, lse, do, causal, block_q)
+    else:
+        dq, dk, dv = _bwd(q, k, v, segment_ids, o, lse, do, causal, block_q)
     return dq, dk, dv, None
 
 
@@ -309,6 +535,7 @@ def flash_attention(
     causal: bool = True,
     segment_ids: jnp.ndarray | None = None,
     block_q: int | None = None,
+    group_heads: bool | None = None,
 ) -> jnp.ndarray:
     """Pallas flash attention in the model's ``[B, S, H, D]`` layout.
 
@@ -316,6 +543,11 @@ def flash_attention(
         q: ``[B, S, Hq, D]``.
         k, v: ``[B, S, Hkv, D]`` with ``Hq % Hkv == 0`` (GQA).
         segment_ids: optional ``[B, S]`` packed-sequence IDs.
+        group_heads: run one grid program per (batch, KV head) with the n_rep
+            grouped query heads stacked into 2D blocks, instead of one program
+            per (batch, query head). Same math; fewer, larger programs. The
+            default (None) auto-enables grouping when the grouped blocks fit
+            VMEM (see _auto_group_heads); True forces it, False disables.
     """
     b, s, hq, d = q.shape
     hkv = k.shape[2]
@@ -327,6 +559,8 @@ def flash_attention(
         block_q = _pick_block_q(s)
     if s % block_q != 0:
         raise ValueError(f"Sequence length {s} must be a multiple of block_q={block_q}")
+    if group_heads is None:
+        group_heads = _auto_group_heads(hq // hkv, block_q, s, d)
     sm_scale = 1.0 / (d**0.5)
     # fold the softmax scale into q here: XLA fuses the multiply into the
     # surrounding transpose/projection, autodiff routes it into dq, and the
@@ -334,7 +568,7 @@ def flash_attention(
     qt = (q * sm_scale).transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    o, lse = _flash_bhsd(qt, kt, vt, segment_ids, causal, block_q)
+    o, lse = _flash_bhsd(qt, kt, vt, segment_ids, causal, block_q, group_heads)
     # the remat policy saves o (save_qkv_mlp_attn); lse rides along as a fwd
     # residual via _flash_fwd_rule — no extra tag needed here
     from jax.ad_checkpoint import checkpoint_name

@@ -24,10 +24,11 @@ def run_interpret(fn, *args, **kwargs):
         return fn(*args, **kwargs)
 
 
+@pytest.mark.parametrize("group_heads", [False, True])
 @pytest.mark.parametrize("causal", [True, False])
-def test_forward_matches_xla(causal):
+def test_forward_matches_xla(causal, group_heads):
     q, k, v = make_qkv()
-    ours = run_interpret(flash_attention, q, k, v, causal=causal, block_q=128)
+    ours = run_interpret(flash_attention, q, k, v, causal=causal, block_q=128, group_heads=group_heads)
     ref = xla_attention(q, k, v, causal=causal)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
@@ -52,11 +53,12 @@ def test_segment_ids_masking():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-def test_gradients_match_xla():
+@pytest.mark.parametrize("group_heads", [False, True])
+def test_gradients_match_xla(group_heads):
     q, k, v = make_qkv(b=1, s=128, hq=4, hkv=2)
 
     def loss_flash(q, k, v):
-        return jnp.sum(jnp.square(flash_attention(q, k, v, causal=True, block_q=64)))
+        return jnp.sum(jnp.square(flash_attention(q, k, v, causal=True, block_q=64, group_heads=group_heads)))
 
     def loss_ref(q, k, v):
         return jnp.sum(jnp.square(xla_attention(q, k, v, causal=True)))
@@ -69,12 +71,13 @@ def test_gradients_match_xla():
         )
 
 
-def test_gradients_with_segments_match_xla():
+@pytest.mark.parametrize("group_heads", [False, True])
+def test_gradients_with_segments_match_xla(group_heads):
     q, k, v = make_qkv(b=1, s=128, hq=4, hkv=2, seed=3)
     seg = jnp.concatenate([jnp.ones((1, 96), jnp.int32), jnp.full((1, 32), 2, jnp.int32)], axis=1)
 
     def loss_flash(q, k, v):
-        return jnp.sum(jnp.square(flash_attention(q, k, v, causal=True, segment_ids=seg, block_q=64)))
+        return jnp.sum(jnp.square(flash_attention(q, k, v, causal=True, segment_ids=seg, block_q=64, group_heads=group_heads)))
 
     def loss_ref(q, k, v):
         return jnp.sum(jnp.square(xla_attention(q, k, v, causal=True, segment_ids=seg)))
@@ -91,3 +94,42 @@ def test_rejects_bad_block():
     q, k, v = make_qkv(s=100)
     with pytest.raises(ValueError, match="multiple"):
         flash_attention(q, k, v, block_q=64)
+
+
+
+def test_grouped_matches_ungrouped_exactly():
+    # same kernels' math, different grid decomposition: grouped and per-head
+    # variants must agree to float equality on identical inputs
+    q, k, v = make_qkv(b=2, s=256, hq=8, hkv=2, seed=7)
+    a = run_interpret(flash_attention, q, k, v, causal=True, block_q=64, group_heads=True)
+    b = run_interpret(flash_attention, q, k, v, causal=True, block_q=64, group_heads=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+
+def test_grouped_gradients_with_segments_match_xla():
+    q, k, v = make_qkv(b=1, s=128, hq=4, hkv=2, seed=9)
+    seg = jnp.concatenate([jnp.ones((1, 96), jnp.int32), jnp.full((1, 32), 2, jnp.int32)], axis=1)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            jnp.square(flash_attention(q, k, v, causal=True, segment_ids=seg, block_q=64, group_heads=True))
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(xla_attention(q, k, v, causal=True, segment_ids=seg)))
+
+    g_ours = run_interpret(jax.grad(loss_flash, argnums=(0, 1, 2)), q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=f"grad d{name} mismatch"
+        )
+
+
+def test_grouped_mha_falls_back_to_per_head():
+    # Hq == Hkv (no grouping possible): group_heads must be a no-op, not an error
+    q, k, v = make_qkv(hq=4, hkv=4, seed=11)
+    ours = run_interpret(flash_attention, q, k, v, causal=True, block_q=128, group_heads=True)
+    ref = xla_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)

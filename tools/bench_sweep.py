@@ -45,10 +45,18 @@ CONFIGS = {
     "b8a8_save_qkv_mlp_attn_c3072": (8, 8, "save_qkv_mlp_attn", 3072),
     "b4a16_save_qkv_mlp_attn_c3072": (4, 16, "save_qkv_mlp_attn", 3072),
     "b16a4_save_qkv_mlp_attn_c3072": (16, 4, "save_qkv_mlp_attn", 3072),
+    # leaner-residual large-micro-batch variants: save_qkv_mlp at micro >= 8
+    # fails allocation analysis (the b4 residual set x2/x4 exceeds 15.75 GB),
+    # so trade saved-mlp residuals for accum/weight-streaming amortization
+    "b16a4_save_qkv_c3072": (16, 4, "save_qkv", 3072),
+    "b8a8_save_qkv_mlp_c2048": (8, 8, "save_qkv_mlp", 2048),
+    # GQA-grouped flash kernels (one program per KV group, stacked-2D blocks):
+    # kernel-only A/B measured fwd -25% / fwd+bwd -6% (tools/bench_flash_grouped.py)
+    "b4a16_grouped": (4, 16, "save_qkv_mlp", 3072, "pallas_grouped"),
 }
 
 
-def run_one(name, batch, accum, remat, chunk, steps=6):
+def run_one(name, batch, accum, remat, chunk, impl="auto", steps=6):
     """Thin wrapper over bench._measure (the single source of truth for the
     model/mesh/opt/step setup, warmup count, and axon-sync timing)."""
     import jax
@@ -57,7 +65,7 @@ def run_one(name, batch, accum, remat, chunk, steps=6):
 
     assert batch * accum * SEQ == WINDOW_TOKENS, (batch, accum)
     t0 = time.perf_counter()
-    tps_chip = bench._measure((batch, accum, SEQ, remat, chunk), steps=steps)  # tokens/s/CHIP
+    tps_chip = bench._measure((batch, accum, SEQ, remat, chunk, impl), steps=steps)  # tokens/s/CHIP
     wall = time.perf_counter() - t0
     n_chips = jax.device_count()
     return {"name": name, "batch": batch, "accum": accum, "remat": remat, "chunk": chunk,
@@ -73,9 +81,9 @@ def main():
     args = ap.parse_args()
     names = args.only or list(CONFIGS)
     for name in names:
-        batch, accum, remat, chunk = CONFIGS[name]
+        batch, accum, remat, chunk, *impl = CONFIGS[name]
         try:
-            res = run_one(name, batch, accum, remat, chunk, steps=args.steps)
+            res = run_one(name, batch, accum, remat, chunk, *impl, steps=args.steps)
         except Exception as e:  # OOM configs are expected — record and continue
             res = {"name": name, "error": f"{type(e).__name__}: {str(e)[:300]}"}
         print(json.dumps(res), flush=True)
