@@ -212,10 +212,15 @@ def _measure_decomposition(shape, steps: int = 6) -> dict:
     return {"micro_fwd_s": t_fwd, "micro_fwd_bwd_s": t_grad, "accum": accum}
 
 
-def _measure_paged_decode(quantize=None) -> float:
+def _measure_paged_decode(quantize=None, hbm_bw: float | None = None):
     """Paged continuous-batching decode at the serving shape (driver-captured
     per VERDICT r2 item 1). Ragged workload identical to bench_decode.py's:
-    96 prompts, ~geometric generation lengths via a 1%-vocab stop set."""
+    96 prompts, ~geometric generation lengths via a 1%-vocab stop set.
+
+    Returns ``(tokens_per_s, roofline_dict)``: when ``hbm_bw`` (measured triad
+    bandwidth, bytes/s) is given, the winning run's engine stats are priced
+    against it so the driver artifact records the attributable gap
+    (``ratio_to_bound``; VERDICT r3 item 2) alongside the raw throughput."""
     from ssi_tpu.generate.engine import SamplingParams
     from ssi_tpu.generate.paged_engine import PagedDecodeEngine
     from ssi_tpu.models.configs import configllama3_2_1b
@@ -237,13 +242,21 @@ def _measure_paged_decode(quantize=None) -> float:
         quantize=quantize,
     )
     engine.generate_batch(prompts, sp)  # compile + warmup
-    best = 0.0
+    best, best_stats = 0.0, {}
     for _ in range(3):  # best-of-3: tunnel round-trip latency fluctuates
         t0 = time.perf_counter()
         outs = engine.generate_batch(prompts, sp)
         dt = time.perf_counter() - t0
-        best = max(best, sum(len(o["token_ids"]) for o in outs) / dt)
-    return best
+        tok_s = sum(len(o["token_ids"]) for o in outs) / dt
+        if tok_s > best:
+            best = tok_s
+            best_stats = dict(engine.last_stats)
+    roofline = {}
+    if hbm_bw:
+        from bench_decode import decode_roofline
+
+        roofline = decode_roofline(best_stats, best, hbm_bw, engine.chunk, engine.n_slots)
+    return best, roofline
 
 
 def _committed_3b_decode() -> dict:
@@ -275,8 +288,11 @@ def main() -> None:
     sft = _measure(SFT_SHAPE, steps=6)
     packed = _measure(CPT_SHAPE, packed=True, steps=6)
     decomp = _measure_decomposition(CPT_SHAPE)
-    paged = _measure_paged_decode()
-    paged_int8 = _measure_paged_decode(quantize="int8")
+    from bench_decode import measure_hbm_bw
+
+    hbm_bw = measure_hbm_bw()
+    paged, paged_roof = _measure_paged_decode(hbm_bw=hbm_bw)
+    paged_int8, paged_int8_roof = _measure_paged_decode(quantize="int8", hbm_bw=hbm_bw)
 
     # MFU: mandatory model FLOPs (remat recompute = overhead) / chip peak
     from ssi_tpu.models.configs import configllama3_2_1b
@@ -315,6 +331,9 @@ def main() -> None:
                     "paged_decode_tok_s": round(paged, 1),
                     "paged_decode_int8_tok_s": round(paged_int8, 1),
                     "paged_decode_int8_ratio": round(paged_int8 / paged, 3),
+                    "hbm_bw_gbs": round(hbm_bw / 1e9, 1),
+                    "paged_decode_roofline_bf16": paged_roof,
+                    "paged_decode_roofline_int8": paged_int8_roof,
                     **_committed_3b_decode(),
                 },
             }

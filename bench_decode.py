@@ -123,6 +123,41 @@ def measure_hbm_bw() -> float:
     return best
 
 
+def decode_roofline(stats: dict, tok_s: float, hbm_bw: float, chunk: int, slots: int) -> dict:
+    """Measured roofline (VERDICT r3 item 2): the HBM bytes the winning run's
+    dispatches must move (weights per scan step + per-slot page-rounded KV +
+    prefill weight streams) over the MEASURED triad bandwidth. ratio_to_bound
+    is the attributable gap: 1.0 = bandwidth-bound speed of light."""
+    bytes_total = stats.get("weight_bytes", 0.0) + stats.get("kv_bytes", 0.0)
+    if not bytes_total or not stats.get("wall_s"):
+        return {}
+    bound_s = bytes_total / hbm_bw
+    bound_tok_s = stats["tokens_out"] / bound_s
+    # occupancy: decode-slot utilization — tokens actually emitted over the
+    # slot-steps the dispatched chunks paid for. The weights stream is per
+    # STEP, so the roofline (which counts the bytes actually moved) already
+    # prices the ragged drain; occupancy says how much of the remaining gap
+    # is scheduling (idle slots) rather than kernel inefficiency.
+    occ = None
+    if stats.get("chunk_dispatches"):
+        denom = stats["chunk_dispatches"] * chunk * slots
+        occ = round(stats["tokens_out"] / denom, 3) if denom else None
+    return {
+        "weight_gb": round(stats["weight_bytes"] / 1e9, 2),
+        "kv_gb": round(stats["kv_bytes"] / 1e9, 2),
+        "bound_tok_s": round(bound_tok_s, 1),
+        "ratio_to_bound": round(bound_tok_s / tok_s, 2),
+        "occupancy": occ,
+        "host_block_s": round(
+            stats.get("dispatch_block_s", 0.0)
+            + stats.get("prefill_block_s", 0.0)
+            + stats.get("harvest_block_s", 0.0),
+            3,
+        ),
+        "wall_s": round(stats["wall_s"], 3),
+    }
+
+
 def bench_ragged(cfg, params, kind, n_runs: int = 1, quantize=None):
     from ssi_tpu.generate.engine import DecodeEngine, SamplingParams
     from ssi_tpu.generate.paged_engine import PagedDecodeEngine
@@ -193,39 +228,7 @@ def main() -> None:
         prefix_fracs.append(shared / max(n, 1))
     int8_prefix_agreement = sum(prefix_fracs) / len(prefix_fracs)
 
-    # Measured roofline (VERDICT r3 item 2): the HBM bytes the winning run's
-    # dispatches must move (weights per scan step + per-slot page-rounded KV +
-    # prefill weight streams) over the MEASURED triad bandwidth. ratio_to_bound
-    # is the attributable gap: 1.0 = bandwidth-bound speed of light.
-    def roofline(stats, tok_s):
-        bytes_total = stats.get("weight_bytes", 0.0) + stats.get("kv_bytes", 0.0)
-        if not bytes_total or not stats.get("wall_s"):
-            return {}
-        bound_s = bytes_total / hbm_bw
-        bound_tok_s = stats["tokens_out"] / bound_s
-        # occupancy: decode-slot utilization — tokens actually emitted over the
-        # slot-steps the dispatched chunks paid for. The weights stream is per
-        # STEP, so the roofline (which counts the bytes actually moved) already
-        # prices the ragged drain; occupancy says how much of the remaining gap
-        # is scheduling (idle slots) rather than kernel inefficiency.
-        occ = None
-        if stats.get("chunk_dispatches"):
-            denom = stats["chunk_dispatches"] * CHUNK * SLOTS
-            occ = round(stats["tokens_out"] / denom, 3) if denom else None
-        return {
-            "weight_gb": round(stats["weight_bytes"] / 1e9, 2),
-            "kv_gb": round(stats["kv_bytes"] / 1e9, 2),
-            "bound_tok_s": round(bound_tok_s, 1),
-            "ratio_to_bound": round(bound_tok_s / tok_s, 2),
-            "occupancy": occ,
-            "host_block_s": round(
-                stats.get("dispatch_block_s", 0.0)
-                + stats.get("prefill_block_s", 0.0)
-                + stats.get("harvest_block_s", 0.0),
-                3,
-            ),
-            "wall_s": round(stats["wall_s"], 3),
-        }
+    roofline = lambda stats, tok_s: decode_roofline(stats, tok_s, hbm_bw, CHUNK, SLOTS)
 
     print(
         json.dumps(

@@ -40,6 +40,12 @@ CONFIGS = {
     # round-4 re-sweep: the kernels changed a lot since the micro4xaccum16
     # optimum was picked; larger micro-batches halve the per-step weight
     # streaming (accum x ~3 weight reads/step), if they still fit HBM.
+    # MEASURED (v5e 2026-08-19, grouped-flash build): all lose to b4a16
+    # save_qkv_mlp (17.35k) — b8a8_save_qkv 15.0k, b16a4_save_qkv 14.4k
+    # (the leaner remat's extra recompute outweighs the accum amortization);
+    # b8a8_save_qkv_mlp_c2048 fails remote compile (allocation);
+    # b4a16_save_qkv_mlp_attn+grouped compile ran >21 min without finishing
+    # (pathological; killed — grouped bwd + saved-attn residual layout).
     "b8a8_save_qkv_mlp_c3072": (8, 8, "save_qkv_mlp", 3072),
     "b16a4_save_qkv_mlp_c3072": (16, 4, "save_qkv_mlp", 3072),
     "b8a8_save_qkv_mlp_attn_c3072": (8, 8, "save_qkv_mlp_attn", 3072),
