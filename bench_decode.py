@@ -198,6 +198,11 @@ def bench_ragged(cfg, params, kind, n_runs: int = 1, quantize=None):
             best = total / dt
             if kind == "paged":
                 stats = dict(engine.last_stats)
+    # live dispatch geometry for the roofline (not the module constants, so the
+    # occupancy denominator tracks the engine's actual chunk/slot choice)
+    if kind == "paged":
+        stats["dispatch_chunk"] = engine.chunk
+        stats["dispatch_slots"] = engine.n_slots
     return best, total, [o["token_ids"] for o in outs], stats
 
 
@@ -228,7 +233,9 @@ def main() -> None:
         prefix_fracs.append(shared / max(n, 1))
     int8_prefix_agreement = sum(prefix_fracs) / len(prefix_fracs)
 
-    roofline = lambda stats, tok_s: decode_roofline(stats, tok_s, hbm_bw, CHUNK, SLOTS)
+    roofline = lambda stats, tok_s: decode_roofline(
+        stats, tok_s, hbm_bw, stats.get("dispatch_chunk", CHUNK), stats.get("dispatch_slots", SLOTS)
+    )
 
     print(
         json.dumps(

@@ -31,6 +31,9 @@ CONF_DIR = Path(__file__).resolve().parent.parent / "conf"
 
 def main(argv: list[str]) -> None:
     cfg = compose(str(CONF_DIR), "generate", overrides=argv)
+    from ssi_tpu.train.metric_logging import configure_hydra_logging
+
+    configure_hydra_logging(cfg)
 
     train_cfg = None
     if cfg.get("train_yaml") is None:

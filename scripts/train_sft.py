@@ -20,6 +20,9 @@ logging.basicConfig(
 
 def main(argv: list[str]) -> None:
     cfg = compose("conf", "sft", overrides=argv)
+    from ssi_tpu.train.metric_logging import configure_hydra_logging
+
+    configure_hydra_logging(cfg)
     resolve_n_dsus(cfg)
     trainer = Trainer(cfg)
     trainer.setup()

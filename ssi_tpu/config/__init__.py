@@ -339,7 +339,7 @@ def compose(
         key, _, val_text = ov.partition("=")
         key = key.lstrip("+~")
         value = _parse_override_value(val_text)
-        if key == "hydra/job_logging":  # group choice validated at resolution below
+        if key in ("hydra/job_logging", "hydra/hydra_logging"):  # validated at resolution below
             group_selections[key] = None if value is None else str(value)
         elif isinstance(value, str) and (config_root / key / f"{value}.yaml").exists():
             group_selections[key] = value
@@ -358,19 +358,22 @@ def compose(
     if data.get("config_name") == "${hydra:job.config_name}":
         data["config_name"] = config_name
 
-    # hydra/job_logging config-group surface (ref: conf/hydra/job_logging/custom.yaml):
-    # users select with `hydra/job_logging=<name>` (or `none` to disable); the
-    # resolved yaml path rides along for the runtime to dictConfig at setup.
-    logging_choice = group_selections.pop("hydra/job_logging", "custom")
+    # hydra logging config-group surfaces (ref: conf/hydra/{job,hydra}_logging/custom.yaml):
+    # users select with `hydra/job_logging=<name>` / `hydra/hydra_logging=<name>`
+    # (or `none` to disable); the resolved yaml paths ride along for the runtime —
+    # hydra_logging is applied by the CLI entry right after compose, job_logging
+    # is dictConfig'd at Trainer/job setup.
     hydra_node = data.setdefault("hydra", {})
-    hydra_node.setdefault("job_logging", logging_choice)
-    choice = hydra_node["job_logging"]
-    if choice not in (None, "none"):
-        logging_yaml = config_root / "hydra" / "job_logging" / f"{choice}.yaml"
-        if logging_yaml.exists():
-            hydra_node["job_logging_config"] = str(logging_yaml)
-        elif choice != "custom":  # an explicit selection must resolve
-            raise FileNotFoundError(f"hydra/job_logging option {choice!r} not found at {logging_yaml}")
+    for group in ("job_logging", "hydra_logging"):
+        logging_choice = group_selections.pop(f"hydra/{group}", "custom")
+        hydra_node.setdefault(group, logging_choice)
+        choice = hydra_node[group]
+        if choice not in (None, "none"):
+            logging_yaml = config_root / "hydra" / group / f"{choice}.yaml"
+            if logging_yaml.exists():
+                hydra_node[f"{group}_config"] = str(logging_yaml)
+            elif choice != "custom":  # an explicit selection must resolve
+                raise FileNotFoundError(f"hydra/{group} option {choice!r} not found at {logging_yaml}")
     return Config(data)
 
 

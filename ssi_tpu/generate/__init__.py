@@ -102,6 +102,12 @@ def run_generation(cfg: Any) -> Path:
         gen_output_dir = gen_output_dir / hash_cfg(cfg)
     gen_output_dir.mkdir(parents=True, exist_ok=False)  # fail early if it already exists
 
+    # job start: hand logging from the framework-phase (hydra_logging) config
+    # over to the job's own config, file handler in the generation output dir
+    from ssi_tpu.train.metric_logging import configure_job_logging
+
+    configure_job_logging(cfg, gen_output_dir, job_name="generate")
+
     cfg_yaml = to_yaml(cfg, resolve=True)
     with open(gen_output_dir / cfg.gen.output_config_filename, "x") as f:
         f.write(cfg_yaml)

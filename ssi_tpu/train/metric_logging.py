@@ -159,28 +159,64 @@ def configure_job_logging(cfg: Any, run_dir: Path | str, job_name: str = "train"
         attach_run_file_logging(run_dir, job_name)  # composer-less fallback
         return
 
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    substitutions = {
+        "${hydra.runtime.output_dir}": str(run_dir),
+        "${hydra.job.name}": str(job_name),
+    }
+    _dict_config_from_yaml(yaml_path, substitutions)
+    LOGGER.info(f"Applied job_logging config {yaml_path} (run dir {run_dir})")
+
+
+def configure_hydra_logging(cfg: Any) -> None:
+    """Apply the hydra/hydra_logging config group — framework-phase logging.
+
+    The analog of Hydra configuring its own logger at app startup
+    (ref: conf/hydra/hydra_logging/custom.yaml): CLI entry points call this
+    right after ``ssi_tpu.config.compose`` so composition/setup messages use
+    the HYDRA-tagged console format until job_logging takes over. A missing
+    hydra node, ``hydra/hydra_logging=none``, or a composer-less config all
+    leave the process's existing logging untouched.
+    """
+    hydra_node = cfg.get("hydra") if hasattr(cfg, "get") else None
+    if hydra_node is None:
+        return
+    if hydra_node.get("hydra_logging") in (None, "none"):
+        return
+    yaml_path = hydra_node.get("hydra_logging_config")
+    if yaml_path is None:
+        return
+    _dict_config_from_yaml(yaml_path)
+    LOGGER.info(f"Applied hydra_logging config {yaml_path}")
+
+
+def _dict_config_from_yaml(yaml_path: str | Path, substitutions: dict[str, str] | None = None) -> None:
+    """dictConfig a logging yaml, degrading the colorlog formatter when the
+    colorlog package is absent (handlers fall back to the first plain
+    formatter in the file instead of failing)."""
     import logging.config
 
     import yaml as _yaml
 
-    run_dir = Path(run_dir)
-    run_dir.mkdir(parents=True, exist_ok=True)
     text = Path(yaml_path).read_text()
-    text = text.replace("${hydra.runtime.output_dir}", str(run_dir))
-    text = text.replace("${hydra.job.name}", str(job_name))
+    for placeholder, value in (substitutions or {}).items():
+        text = text.replace(placeholder, value)
     config = _yaml.safe_load(text)
     try:
         import colorlog  # noqa: F401
     except ImportError:
-        # degrade the colorlog formatter to `simple` rather than failing
         fmts = config.get("formatters", {})
         if "colorlog" in fmts:
             fmts.pop("colorlog")
+            fallback = next(iter(fmts), None)
             for handler in config.get("handlers", {}).values():
                 if handler.get("formatter") == "colorlog":
-                    handler["formatter"] = "simple"
+                    if fallback is None:
+                        handler.pop("formatter", None)
+                    else:
+                        handler["formatter"] = fallback
     logging.config.dictConfig(config)
-    LOGGER.info(f"Applied job_logging config {yaml_path} (run dir {run_dir})")
 
 
 def attach_run_file_logging(run_dir: Path | str, job_name: str = "train") -> None:

@@ -1,6 +1,8 @@
 """Pure training utilities: config validation, resume schema, token accounting.
 
 Behavioural rebuild of ref: ssi/train_utils.py:37-165 (numpy in place of torch).
+The resume-state schema and hparam guard are contract-bound to the reference's
+versioned checkpoint format (SURVEY §3.5); everything else is host-side glue.
 """
 
 from __future__ import annotations
@@ -28,21 +30,37 @@ from ssi_tpu.models.configs import ConfigLlama3_2
 
 LOGGER = logging.getLogger(__name__)
 
+# Resume-state field -> schema key it is read from (schema v1, constants.py).
+_RESUME_FIELDS = {
+    "global_step": GLOBAL_STEP_KEY,
+    "optimizer_state": OPTIMIZER_KEY,
+    "lr_scheduler_state": LR_SCHEDULER_KEY,
+    "rng_state": RNG_KEY,
+    "training_hparams": TRAINING_HPARAMS_KEY,
+    "consumed_samples": CONSUMED_SAMPLES_KEY,
+    "cumulative_metrics": CUMULATIVE_METRICS_KEY,
+}
+
+# Hparams whose value pins the step->data-position mapping; changing any of
+# them across a resume would silently shift which samples each step sees.
+_POSITION_PINNING_HPARAMS = ("batch_size", "gradient_accumulation_steps", "world_size", "steps_per_epoch")
+
+_REQUIRED_POSITIVE_FIELDS = ("gradient_accumulation_steps", "max_steps", "log_interval", "eval_steps", "save_steps")
+
 
 def resolve_n_dsus(cfg: Any) -> None:
     """Copy ``data.n_dsus`` into ``speech.n_dsus`` unless set explicitly
     (ref: ssi/train_utils.py:37-59)."""
     if cfg.speech.n_dsus is not None:
-        return  # explicit CLI override takes precedence
+        return  # an explicit speech.n_dsus= CLI value wins over the data group
     data_n_dsus = cfg.data.get("n_dsus") if cfg.get("data") is not None else None
-    if data_n_dsus is not None:
-        cfg.speech.n_dsus = data_n_dsus
-        LOGGER.info(f"Auto-resolved speech.n_dsus={data_n_dsus} from data config")
-    else:
+    if data_n_dsus is None:
         raise ValueError(
-            "speech.n_dsus must be set either via CLI (speech.n_dsus=5000) or "
-            "by using a data config that specifies n_dsus."
+            "Cannot determine speech.n_dsus: pass it on the CLI "
+            "(speech.n_dsus=<codebook size>) or select a data config that carries n_dsus."
         )
+    cfg.speech.n_dsus = data_n_dsus
+    LOGGER.info(f"speech.n_dsus <- {data_n_dsus} (taken from the selected data config)")
 
 
 def validate_train_cfg(cfg: Any) -> None:
@@ -50,24 +68,22 @@ def validate_train_cfg(cfg: Any) -> None:
     from ssi_tpu.config import missing_keys
 
     if cfg.speech.n_dsus is None:
-        raise ValueError(
-            "speech.n_dsus is still null at validation time. Call resolve_n_dsus(cfg) before validate_train_cfg()."
-        )
+        raise ValueError("speech.n_dsus unresolved — run resolve_n_dsus(cfg) before validating.")
 
     if cfg.dtype not in SUPPORTED_DTYPES:
-        raise ValueError(f"Unsupported dtype: {cfg.dtype}. Supported dtypes: {SUPPORTED_DTYPES}")
+        raise ValueError(f"dtype {cfg.dtype!r} is not supported; choose one of {SUPPORTED_DTYPES}")
 
     missing = missing_keys(cfg)
     if missing:
-        raise ValueError(f"Missing keys in config: {missing}")
+        raise ValueError(f"Config has unresolved mandatory ('???') keys: {missing}")
 
-    positive_int_fields = ("gradient_accumulation_steps", "max_steps", "log_interval", "eval_steps", "save_steps")
-    for field in positive_int_fields:
+    for field in _REQUIRED_POSITIVE_FIELDS:
         if cfg.get(field, 0) <= 0:
-            raise ValueError(f"Config field '{field}' must be a positive integer, got: {cfg.get(field)}")
+            raise ValueError(f"{field} must be > 0 (got {cfg.get(field)!r})")
 
     if cfg.save_steps % cfg.eval_steps != 0:
-        raise ValueError(f"save_steps ({cfg.save_steps}) must be a multiple of eval_steps ({cfg.eval_steps})")
+        # checkpoints are cut at eval boundaries, so save must align with eval
+        raise ValueError(f"save_steps={cfg.save_steps} is not a multiple of eval_steps={cfg.eval_steps}")
 
 
 def resume_training_state(ckpt_dict: dict[str, Any]) -> dict[str, Any]:
@@ -75,26 +91,17 @@ def resume_training_state(ckpt_dict: dict[str, Any]) -> dict[str, Any]:
     (ref: ssi/train_utils.py:84-107)."""
     if CHECKPOINT_VERSION_KEY not in ckpt_dict:
         raise ValueError(
-            "Checkpoint predates the versioned schema (no 'checkpoint_version' key). "
-            "Legacy checkpoints are not supported. Start a fresh training run."
+            "Training state lacks a 'checkpoint_version' field and so predates the "
+            "versioned schema; such checkpoints cannot be resumed — train from scratch."
         )
-    ckpt_version = ckpt_dict[CHECKPOINT_VERSION_KEY]
-    if ckpt_version != CHECKPOINT_VERSION:
+    found_version = ckpt_dict[CHECKPOINT_VERSION_KEY]
+    if found_version != CHECKPOINT_VERSION:
         raise ValueError(
-            f"Checkpoint version mismatch: checkpoint has version {ckpt_version}, "
-            f"but this code expects version {CHECKPOINT_VERSION}."
+            f"Checkpoint version mismatch (found {found_version}, this build reads {CHECKPOINT_VERSION})."
         )
     if ckpt_dict[SEED_KEY] != SEED:
-        raise ValueError(f"Seed mismatch: config={SEED}, checkpoint={ckpt_dict[SEED_KEY]}")
-    return {
-        "global_step": ckpt_dict[GLOBAL_STEP_KEY],
-        "optimizer_state": ckpt_dict[OPTIMIZER_KEY],
-        "lr_scheduler_state": ckpt_dict[LR_SCHEDULER_KEY],
-        "rng_state": ckpt_dict[RNG_KEY],
-        "training_hparams": ckpt_dict[TRAINING_HPARAMS_KEY],
-        "consumed_samples": ckpt_dict[CONSUMED_SAMPLES_KEY],
-        "cumulative_metrics": ckpt_dict[CUMULATIVE_METRICS_KEY],
-    }
+        raise ValueError(f"Seed mismatch: build constant {SEED} vs checkpoint {ckpt_dict[SEED_KEY]}")
+    return {field: ckpt_dict[key] for field, key in _RESUME_FIELDS.items()}
 
 
 def validate_resume_hparams(
@@ -104,17 +111,17 @@ def validate_resume_hparams(
 ) -> None:
     """Refuse resumes that break the step-to-data-position mapping
     (ref: ssi/train_utils.py:110-126)."""
-    for key in ("batch_size", "gradient_accumulation_steps", "world_size", "steps_per_epoch"):
-        if key in ckpt_hparams and ckpt_hparams[key] != current_hparams[key]:
-            msg = (
-                f"Training hparam mismatch on resume for '{key}': "
-                f"checkpoint={ckpt_hparams[key]}, current={current_hparams[key]}. "
-                f"This breaks the step-to-data-position mapping."
-            )
-            if force_resume:
-                LOGGER.warning(msg)
-            else:
-                raise ValueError(msg)
+    for key in _POSITION_PINNING_HPARAMS:
+        if key not in ckpt_hparams or ckpt_hparams[key] == current_hparams[key]:
+            continue
+        msg = (
+            f"Training hparam mismatch on resume: {key!r} was {ckpt_hparams[key]} at save "
+            f"time but is {current_hparams[key]} now — the step->data-position mapping no "
+            f"longer holds."
+        )
+        if not force_resume:
+            raise ValueError(msg)
+        LOGGER.warning(msg + " Continuing anyway (force_resume).")
 
 
 def get_token_type_ranges(llama_config: ConfigLlama3_2) -> dict[str, tuple[int, int]]:
@@ -131,12 +138,12 @@ def get_token_type_ranges(llama_config: ConfigLlama3_2) -> dict[str, tuple[int, 
     if llama_config.modality_tokens:
         ranges["modality"] = (offset, offset + 1)
         offset += 2
-    # special_text includes the padding token (<|finetune_right_pad_id|>)
+    # the pad token (<|finetune_right_pad_id|>) lives inside special_text
     ranges["special_text"] = (offset, offset + llama_config.n_special_txt - 1)
 
     offset += llama_config.n_special_txt
     if offset != llama_config.vocab_size:
-        raise ValueError(f"Vocab vs token ranges mismatch: {offset} != {llama_config.vocab_size}")
+        raise ValueError(f"Token-type ranges sum to {offset} but vocab_size is {llama_config.vocab_size}")
     if "total" in ranges:
         raise AssertionError('"total" key reserved')
     return ranges
@@ -150,9 +157,9 @@ def count_token_types(tokens: np.ndarray, ranges: dict[str, tuple[int, int]], pa
     padding-policy-invariant.
     """
     tokens = np.asarray(tokens)
-    counts = {}
     real = tokens != pad_idx
-    for token_type, (start, end) in ranges.items():
-        counts[token_type] = int(((tokens >= start) & (tokens <= end) & real).sum())
+    counts = {
+        token_type: int(((tokens >= lo) & (tokens <= hi) & real).sum()) for token_type, (lo, hi) in ranges.items()
+    }
     counts["total"] = int(real.sum())
     return counts

@@ -157,6 +157,46 @@ def test_job_logging_applied_at_runtime(tmp_path):
         logging.basicConfig(level=logging.INFO)
 
 
+def test_hydra_logging_group_surface(tmp_path):
+    """hydra/hydra_logging config group (ref: conf/hydra/hydra_logging/custom.yaml):
+    default selection resolves the yaml, `none` disables, unknown names fail."""
+    cfg = compose(str(CONF), "cpt", overrides=["data=cpt/mls-hubert_large_ll60k-layer_22"])
+    assert cfg.hydra.hydra_logging == "custom"
+    assert cfg.hydra.hydra_logging_config.endswith("hydra/hydra_logging/custom.yaml")
+
+    cfg_off = compose(
+        str(CONF), "cpt", overrides=["data=cpt/mls-hubert_large_ll60k-layer_22", "hydra/hydra_logging=none"]
+    )
+    assert cfg_off.hydra.hydra_logging == "none"
+    assert cfg_off.select("hydra.hydra_logging_config", default=None) is None
+
+    with pytest.raises(FileNotFoundError, match="hydra_logging"):
+        compose(str(CONF), "cpt", overrides=["data=cpt/mls-hubert_large_ll60k-layer_22", "hydra/hydra_logging=nope"])
+
+
+def test_hydra_logging_applied_at_runtime(capsys):
+    """configure_hydra_logging installs the HYDRA-tagged console handler that
+    frames composition/startup messages (framework-phase logging)."""
+    import logging
+
+    from ssi_tpu.train.metric_logging import configure_hydra_logging
+
+    cfg = compose(str(CONF), "cpt", overrides=["data=cpt/mls-hubert_large_ll60k-layer_22"])
+    try:
+        configure_hydra_logging(cfg)
+        logging.getLogger("ssi_tpu.test_hydra_logging").info("composed ok")
+        out = capsys.readouterr().out
+        assert "HYDRA" in out and "composed ok" in out  # tolerate colorlog escapes around the tag
+        # `none` and composer-less configs are no-ops
+        configure_hydra_logging(Config({"hydra": {"hydra_logging": "none"}}))
+        configure_hydra_logging(Config({}))
+    finally:
+        root = logging.getLogger()
+        for h in list(root.handlers):
+            root.removeHandler(h)
+        logging.basicConfig(level=logging.INFO)
+
+
 def test_extract_wandb_run_cfg_duck_typed():
     """W&B API Run -> sanitized Config (ref: ssi/utils.py:90-93), no wandb import."""
     import json

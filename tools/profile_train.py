@@ -36,11 +36,10 @@ def main() -> None:
     import bench
 
     shape = bench.CPT_SHAPE if args.shape == "cpt" else bench.SFT_SHAPE
-    # warm up/compile OUTSIDE the trace so the profile is steady-state steps
-    bench._measure(shape, steps=1)
-
-    with jax.profiler.trace(args.logdir):
-        bench._measure(shape, steps=args.steps)
+    # timed_ctx scopes the trace to the timed loop only: param/optimizer init,
+    # compile, and bench's internal warmup steps all run before the trace opens,
+    # so the per-op table is steady-state steps and nothing else
+    bench._measure(shape, steps=args.steps, timed_ctx=jax.profiler.trace(args.logdir))
 
     xplanes = sorted(glob.glob(os.path.join(args.logdir, "**", "*.xplane.pb"), recursive=True))
     if not xplanes:
@@ -57,24 +56,37 @@ def main() -> None:
     cols = [c["label"] for c in table[0]["cols"]] if isinstance(table, list) else [c["label"] for c in table["cols"]]
     rows = table[0]["rows"] if isinstance(table, list) else table["rows"]
 
-    def col(name):
-        for i, c in enumerate(cols):
-            if name.lower() in c.lower():
-                return i
+    def col(*names):
+        # most-specific candidate first ("total self-time" before bare "self"):
+        # plugin versions relabel/reorder columns, substring match on the first
+        # candidate that resolves keeps the lookup stable
+        for name in names:
+            for i, c in enumerate(cols):
+                if name.lower() in c.lower():
+                    return i
         return None
 
-    i_name, i_self, i_occ = col("operation"), col("self"), col("occurrences")
+    i_name = col("operation", "op name")
+    i_self = col("total self", "avg. self", "self")
+    i_occ = col("occurrences", "#occur")
+
+    def as_float(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):  # formatted-string cells in some plugin versions
+            return 0.0
+
     out = []
     for r in rows:
         vals = [c.get("v") if isinstance(c, dict) else c for c in r["c"]]
         out.append(
             {
                 "op": vals[i_name] if i_name is not None else vals[0],
-                "self_us": vals[i_self] if i_self is not None else None,
+                "self_us": as_float(vals[i_self]) if i_self is not None else None,
                 "n": vals[i_occ] if i_occ is not None else None,
             }
         )
-    out.sort(key=lambda d: -(d["self_us"] or 0))
+    out.sort(key=lambda d: -as_float(d["self_us"]))
     print(json.dumps({"columns": cols}))
     for d in out[: args.top]:
         print(json.dumps(d))
