@@ -204,6 +204,66 @@ class TestZero1:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)  # reduce-scatter reduction order
 
 
+def test_8b_fsdp_aot_compile():
+    """AOT lower+compile of the FSDP-sharded REAL Llama 3.1 8B train step on the
+    8-device virtual mesh — the multi-chip scale target (bf16 params+moments
+    ~48 GB never fit one chip, so FSDP *is* the 8B train path). Certifies the
+    untied-lm_head registry entry through the full parallel pipeline:
+    param/moment dp-sharding specs, reduce-scatter/all-gather insertion,
+    vocab-sharded CE against the separate (untied) lm_head. ShapeDtypeStructs
+    only — nothing is materialized.
+
+    Ref: /root/reference/ssi/llama_configs.py:142-155 (the reference's scale
+    ladder); BASELINE configs[4] ("stretch to Llama-3-8B").
+    """
+    from ssi_tpu.models.configs import MODEL_CONFIGS
+    from ssi_tpu.parallel import opt_state_shardings, param_shardings
+
+    cfg = MODEL_CONFIGS["llama3_1_8b"].copy()
+    cfg.n_dsus = 5000
+    cfg.modality_tokens = True
+    assert not cfg.tied_embeddings
+
+    mesh = make_mesh(dp=4, tp=2)
+    p_shapes = jax.eval_shape(lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.key(0))
+    assert p_shapes["layers"]["wq"].shape == (32, 4096, 4096)
+    assert p_shapes["lm_head"].shape == (cfg.vocab_size, 4096)  # untied output head
+    psh = param_shardings(mesh, p_shapes, fsdp=True)
+    opt_cfg = AdamWConfig(lr=1e-4)
+    o_shapes = jax.eval_shape(lambda p: init_opt_state(p, opt_cfg), p_shapes)
+    osh = opt_state_shardings(mesh, p_shapes, zero1=True)
+
+    def attach(shapes, shardings):
+        return jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            shapes,
+            shardings,
+        )
+
+    state_shapes = {
+        "params": attach(p_shapes, psh),
+        "opt_state": attach(o_shapes, osh),
+        "step": jax.ShapeDtypeStruct((), jnp.int32),
+    }
+    step = make_train_step(
+        cfg,
+        opt_cfg,
+        constant_schedule(1e-4),
+        attn_impl="xla",
+        chunk_size=2048,
+        donate=False,
+        state_shardings={"params": psh, "opt_state": osh},
+    )
+    tok = jax.ShapeDtypeStruct((1, 8, 256), jnp.int32, sharding=batch_sharding(mesh))
+    compiled = step.lower(state_shapes, tok, tok).compile()
+
+    out_psh = compiled.output_shardings[0]["params"]
+    assert "dp" in jax.tree.leaves(tuple(out_psh["embed"].spec))
+    assert "dp" in jax.tree.leaves(tuple(out_psh["lm_head"].spec))
+    out_mush = compiled.output_shardings[0]["opt_state"]["mu"]
+    assert "dp" in jax.tree.leaves(tuple(out_mush["lm_head"].spec))
+
+
 def test_3b_fsdp_aot_compile():
     """AOT lower+compile (not just an abstract trace) of the FSDP-sharded REAL
     3B train step on the 8-device virtual mesh: certifies the 3B registry entry
