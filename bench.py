@@ -15,10 +15,18 @@ FLOPs) and single-chunk fused CE — measured 13.2k vs 10.6k tokens/s for the
 naive bs16 x accum4 full-remat layout (tools/bench_sweep.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"} where
-extra carries the SFT-shape and packed-CPT throughputs (packed within ~2% of
-dense — the packed flash kernels pay one extra [bq, S] segment-mask pass)
-plus the paged continuous-batching decode numbers (bf16 + opt-in int8) at the
-serving shape — driver-captured so BENCH_r0N records decode, not just train.
+extra carries the SFT-shape and packed-CPT throughputs plus the paged
+continuous-batching decode numbers (bf16 + opt-in int8) at the serving shape —
+driver-captured so BENCH_r0N records decode, not just train.
+
+On the two packing numbers: ``packed_cpt_tokens_per_sec`` is a kernel-overhead
+A/B — both variants get identical FULL-length token grids, so packed measures
+~0.6% SLOWER by construction (it pays the segment-mask pass and has no padding
+to recover; this is the round-4 "inversion", an artifact of the comparison, not
+a property of packing). ``packing_effective`` is packing's actual purpose
+measured: effective non-pad tokens/s at the reference's real CPT length
+distribution (mean 39.43 tokens/row vs seq 768), where padded rows waste ~95%
+of every step.
 
 Baseline: the reference publishes no number (BASELINE.md). We use an engineering
 estimate of 1x A6000 torch-eager throughput for this exact workload:
@@ -54,11 +62,17 @@ CPT_SHAPE = (4, 16, 768, "save_qkv_mlp", 3072)
 SFT_SHAPE = (2, 4, 2048, "save_qkv_mlp", 2048)
 
 
-def _measure(shape, packed: bool = False, steps: int = STEPS, detail: bool = False, timed_ctx=None):
+def _measure(shape, packed: bool = False, steps: int = STEPS, detail: bool = False, timed_ctx=None,
+             batch_data=None):
     """Measure the fused optimizer-window step. ``timed_ctx``, when given, is a
     context manager entered around the TIMED loop only (init, compile, and
     warmup stay outside) — tools/profile_train.py passes jax.profiler.trace so
-    the captured xplane holds steady-state steps and nothing else."""
+    the captured xplane holds steady-state steps and nothing else.
+
+    ``batch_data``: optional ``(tokens, labels, segment_ids|None, positions|None)``
+    numpy arrays replacing the default dense random grid — the effective-packing
+    comparison feeds realistic padded/packed windows through the SAME compiled
+    step (shapes are identical, so no recompile)."""
     from ssi_tpu.models.configs import configllama3_2_1b
     from ssi_tpu.models.llama3 import init_params
     from ssi_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated, shard_params
@@ -98,21 +112,27 @@ def _measure(shape, packed: bool = False, steps: int = STEPS, detail: bool = Fal
         grad_accum_dtype=jnp.bfloat16,  # torch-parity: reference accumulates in bf16 .grad buffers
     )
 
-    rng = np.random.default_rng(0)
-    tokens = rng.integers(0, cfg.vocab_size, (accum, batch, seq)).astype(np.int32)
-    labels = tokens.copy()
     bsh = batch_sharding(mesh)
-    args = [jax.device_put(tokens, bsh), jax.device_put(labels, bsh)]
-    if packed:
-        # two packed segments per row (the packed-CPT path: segment-masked
-        # attention + boundary-stopped label shift)
-        seg = np.ones((accum, batch, seq), np.int32)
-        seg[..., seq // 2:] = 2
-        pos = np.concatenate(
-            [np.arange(seq // 2, dtype=np.int32), np.arange(seq - seq // 2, dtype=np.int32)]
-        )
-        pos = np.broadcast_to(pos, (accum, batch, seq)).copy()
-        args += [jax.device_put(seg, bsh), jax.device_put(pos, bsh)]
+    if batch_data is not None:
+        tokens, labels, seg, pos = batch_data
+        args = [jax.device_put(np.asarray(tokens, np.int32), bsh), jax.device_put(np.asarray(labels, np.int32), bsh)]
+        if seg is not None:
+            args += [jax.device_put(np.asarray(seg, np.int32), bsh), jax.device_put(np.asarray(pos, np.int32), bsh)]
+    else:
+        rng = np.random.default_rng(0)
+        tokens = rng.integers(0, cfg.vocab_size, (accum, batch, seq)).astype(np.int32)
+        labels = tokens.copy()
+        args = [jax.device_put(tokens, bsh), jax.device_put(labels, bsh)]
+        if packed:
+            # two packed segments per row (the packed-CPT path: segment-masked
+            # attention + boundary-stopped label shift)
+            seg = np.ones((accum, batch, seq), np.int32)
+            seg[..., seq // 2:] = 2
+            pos = np.concatenate(
+                [np.arange(seq // 2, dtype=np.int32), np.arange(seq - seq // 2, dtype=np.int32)]
+            )
+            pos = np.broadcast_to(pos, (accum, batch, seq)).copy()
+            args += [jax.device_put(seg, bsh), jax.device_put(pos, bsh)]
 
     # Per-step host sync via float(): block_until_ready alone does not reliably
     # drain the async queue through the axon remote-TPU tunnel.
@@ -138,6 +158,74 @@ def _measure(shape, packed: bool = False, steps: int = STEPS, detail: bool = Fal
     if detail:
         return tok_s, step_time, tokens_per_step
     return tok_s
+
+
+def _measure_packing_effective(shape, steps: int = 6) -> dict:
+    """Packing's REAL win: effective (non-pad) tokens/s at the reference's CPT
+    length distribution (interleave stats mean_seq_len_tokens 39.43, ref
+    conf/data/_cpt_base.yaml:12) vs padding each short row to seq.
+
+    The headline `packed_cpt_tokens_per_sec` A/B feeds both variants identical
+    FULL-length token grids, so it can only ever show packing's segment-mask
+    overhead (~0.6%), never its purpose; this measurement feeds each variant
+    what it would actually train on. Both windows reuse the already-compiled
+    dense/packed step programs (same shapes)."""
+    batch, accum, seq, _, _ = shape[:5]
+    rng = np.random.default_rng(7)
+    vocab = 128_000
+
+    def draw_len():
+        return int(np.clip(rng.geometric(1.0 / 39.43), 4, seq))
+
+    # padded: one short sample per row, rest is pad (labels -100)
+    tokens_pad = np.zeros((accum, batch, seq), np.int32)
+    labels_pad = np.full((accum, batch, seq), -100, np.int32)
+    real_pad = 0
+    for a in range(accum):
+        for b in range(batch):
+            n = draw_len()
+            row = rng.integers(0, vocab, n)
+            tokens_pad[a, b, :n] = row
+            labels_pad[a, b, :n] = row
+            real_pad += n
+
+    # packed: fill every row with consecutive samples (segment ids + restarting
+    # positions), pad only the final tail of each row
+    tokens_pk = np.zeros((accum, batch, seq), np.int32)
+    labels_pk = np.full((accum, batch, seq), -100, np.int32)
+    segs_pk = np.zeros((accum, batch, seq), np.int32)
+    pos_pk = np.zeros((accum, batch, seq), np.int32)
+    real_pk = 0
+    for a in range(accum):
+        for b in range(batch):
+            off, sid = 0, 1
+            while True:
+                n = draw_len()
+                if off + n > seq:
+                    break
+                row = rng.integers(0, vocab, n)
+                tokens_pk[a, b, off : off + n] = row
+                labels_pk[a, b, off : off + n] = row
+                segs_pk[a, b, off : off + n] = sid
+                pos_pk[a, b, off : off + n] = np.arange(n)
+                off += n
+                sid += 1
+                real_pk += n
+
+    pad_tok_s, pad_step_s, pad_tokens = _measure(
+        shape, steps=steps, detail=True, batch_data=(tokens_pad, labels_pad, None, None)
+    )
+    pk_tok_s, pk_step_s, pk_tokens = _measure(
+        shape, steps=steps, detail=True, batch_data=(tokens_pk, labels_pk, segs_pk, pos_pk)
+    )
+    return {
+        "padded_real_tok_s": round(pad_tok_s, 1),
+        "packed_real_tok_s": round(pk_tok_s, 1),
+        "packing_speedup": round(pk_tok_s / pad_tok_s, 2),
+        "padded_fill_fraction": round(real_pad / (accum * batch * seq), 4),
+        "packed_fill_fraction": round(real_pk / (accum * batch * seq), 4),
+        "note": "effective non-pad tokens/s at the reference CPT length distribution (mean 39.43)",
+    }
 
 
 def model_flops_per_token(cfg, seq: int) -> float:
@@ -299,6 +387,7 @@ def main() -> None:
     cpt, cpt_step_s, cpt_tokens = _measure(CPT_SHAPE, detail=True)
     sft = _measure(SFT_SHAPE, steps=6)
     packed = _measure(CPT_SHAPE, packed=True, steps=6)
+    packing_eff = _measure_packing_effective(CPT_SHAPE)
     decomp = _measure_decomposition(CPT_SHAPE)
     from bench_decode import measure_hbm_bw
 
@@ -345,6 +434,7 @@ def main() -> None:
                     },
                     "sft_tokens_per_sec_bs2x2048": round(sft, 1),
                     "packed_cpt_tokens_per_sec": round(packed, 1),
+                    "packing_effective": packing_eff,
                     "paged_decode_tok_s": round(paged, 1),
                     "paged_decode_int8_tok_s": round(paged_int8, 1),
                     "paged_decode_int8_ratio": round(paged_int8 / paged, 3),

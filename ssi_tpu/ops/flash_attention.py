@@ -473,8 +473,9 @@ def _auto_group_heads(n_rep: int, block_q: int, s: int, d: int) -> bool:
     """Grouped kernels hold [n_rep*block_q, S] f32 score/probability planes in
     VMEM (~16 MB/core); estimate the backward's live set and group only when it
     fits. At the CPT shape (n_rep 4, bq 256, S 768) this is ~11.6 MB — measured
-    working and +1% end-to-end; at S 2048 it would be ~25 MB and Mosaic fails
-    allocation, so long-S shapes stay on the per-head grid."""
+    working and +1% end-to-end; at S 2048 with bq 256 it would be ~25 MB and
+    Mosaic fails allocation — _grouped_block_q sub-tiles the planes by
+    shrinking the q block until they fit (S 2048 groups at bq 32)."""
     if n_rep <= 1:
         return False
     rows = n_rep * block_q
@@ -485,6 +486,20 @@ def _auto_group_heads(n_rep: int, block_q: int, s: int, d: int) -> bool:
         + 2 * s * d * 4           # dk, dv accumulators (f32)
     )
     return est <= 12 * 1024 * 1024
+
+
+def _grouped_block_q(n_rep: int, block_q: int, s: int, d: int, floor: int = 32) -> int | None:
+    """Largest q block <= block_q whose GROUPED live set fits VMEM (sub-tiling
+    the [n_rep*bq, S] planes along the q axis), or None when even ``floor``
+    doesn't fit. Shrinking bq by the grouping factor keeps the stacked MXU row
+    block (n_rep*bq) at the ungrouped kernel's size while still cutting the
+    program count by n_rep."""
+    bq = block_q
+    while bq >= floor:
+        if s % bq == 0 and _auto_group_heads(n_rep, bq, s, d):
+            return bq
+        bq //= 2
+    return None
 
 
 def _fwd_dispatch(q, k, v, segment_ids, causal, block_q, group_heads):
@@ -559,8 +574,21 @@ def flash_attention(
         block_q = _pick_block_q(s)
     if s % block_q != 0:
         raise ValueError(f"Sequence length {s} must be a multiple of block_q={block_q}")
+    n_rep = hq // hkv
     if group_heads is None:
-        group_heads = _auto_group_heads(hq // hkv, block_q, s, d)
+        # auto: group only when the grouped live set fits at the FULL block_q
+        # (measured +1% at the CPT shape). Sub-tiled grouping (smaller bq) is
+        # opt-in via group_heads=True — measured at parity, not a win, at the
+        # SFT shape (see docs/ROADMAP.md round-5 notes).
+        group_heads = _auto_group_heads(n_rep, block_q, s, d)
+    elif group_heads and not _auto_group_heads(n_rep, block_q, s, d):
+        # forced grouping at a shape whose planes exceed VMEM at this bq:
+        # sub-tile along the q axis instead of failing Mosaic allocation
+        sub_bq = _grouped_block_q(n_rep, block_q, s, d)
+        if sub_bq is None:
+            group_heads = False  # nothing fits; fall back to the per-head grid
+        else:
+            block_q = sub_bq
     sm_scale = 1.0 / (d**0.5)
     # fold the softmax scale into q here: XLA fuses the multiply into the
     # surrounding transpose/projection, autodiff routes it into dq, and the

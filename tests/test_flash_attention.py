@@ -107,6 +107,23 @@ def test_grouped_matches_ungrouped_exactly():
 
 
 
+def test_grouped_subtiled_block_q_long_s():
+    """Forced grouping at a shape whose [n_rep*bq, S] planes exceed VMEM at the
+    default bq: flash() sub-tiles (shrinks block_q) instead of failing, and the
+    sub-tiled grouped output still equals the per-head path exactly."""
+    from ssi_tpu.ops.flash_attention import _auto_group_heads, _grouped_block_q
+
+    # the SFT shape's parameters: n_rep 4, S 2048, d 64 — default bq 256 doesn't fit
+    assert not _auto_group_heads(4, 256, 2048, 64)
+    assert _grouped_block_q(4, 256, 2048, 64) == 64
+
+    # interpret-mode parity at a smaller long-S stand-in (same sub-tiling logic)
+    q, k, v = make_qkv(b=1, s=512, hq=8, hkv=2, seed=11)
+    grouped = run_interpret(flash_attention, q, k, v, causal=True, group_heads=True)
+    per_head = run_interpret(flash_attention, q, k, v, causal=True, group_heads=False)
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(per_head), rtol=1e-6, atol=1e-6)
+
+
 def test_grouped_gradients_with_segments_match_xla():
     q, k, v = make_qkv(b=1, s=128, hq=4, hkv=2, seed=9)
     seg = jnp.concatenate([jnp.ones((1, 96), jnp.int32), jnp.full((1, 32), 2, jnp.int32)], axis=1)

@@ -245,7 +245,10 @@ def build_corpus(data_dir: Path, n_dsus: int, n_train: int, n_dev: int, n_test: 
     def make_rows(n: int, tag: str) -> list[dict]:
         rows = []
         for i in range(n):
-            n_words = int(rng.integers(3, 15))
+            # 12-40 words per utterance: dense supervision (the round-4 3-15
+            # range starved the run — ~300 assistant tokens/step — which is why
+            # 800 steps plateaued at WER 0.63)
+            n_words = int(rng.integers(12, 41))
             ws = [WORDS[j] for j in rng.choice(len(WORDS), n_words, p=p)]
             speech = [t for w in ws for t in codes[w]]
             rows.append({"ID": f"{tag}_{i}", "speech_tokens": speech, "transcript": " ".join(ws)})
@@ -297,12 +300,14 @@ def main() -> None:
     ap.add_argument("--n-train", type=int, default=12000)
     ap.add_argument("--n-dev", type=int, default=192)
     ap.add_argument("--n-test", type=int, default=256)
-    ap.add_argument("--max-steps", type=int, default=800)
-    ap.add_argument("--eval-steps", type=int, default=100)
+    ap.add_argument("--max-steps", type=int, default=4000)
+    ap.add_argument("--eval-steps", type=int, default=250)
+    # micro-batch 16: batch 32 x seq 256 OOMs the single-chip train step (18.9 G
+    # vs 15.75 G HBM); accum 4 keeps the 64-row/16k-token optimizer window
     ap.add_argument("--batch-size", type=int, default=16)
-    ap.add_argument("--grad-accum", type=int, default=2)
-    ap.add_argument("--lr", type=float, default=6e-4)
-    ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--grad-accum", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--max-seq-len", type=int, default=256)
     ap.add_argument("--decode-slots", type=int, default=48)
     ap.add_argument("--smoke", action="store_true", help="tiny wiring check (few steps, few rows)")
@@ -377,21 +382,25 @@ def main() -> None:
         step_dir = latest_step_dir()
         LOGGER.info(f"generating from {step_dir}")
         for tag, quant in gen_variants:
-            out_root = W / f"gen_{tag}"
-            if out_root.exists():
-                shutil.rmtree(out_root)
-            run([py, REPO / "scripts" / "generate.py",
-                 f"model={step_dir}",
-                 "data=sft/mls-hubert_large_ll60k-layer_22",
-                 "data.test.dataset.source=json",
-                 f"+data.test.dataset.data_files={data_dir / 'test.jsonl'}",
-                 "data.test.dataset.split=train",
-                 "gen.split=test",
-                 f"gen.output_dir={out_root}",
-                 f"batch_size={args.decode_slots}",
-                 f"quantize_weights={quant}",
-                 "observability=true",
-                 ], env, log)
+            # two passes: the first warms the persistent XLA compile cache so
+            # the second (scored) run's batch metrics are steady-state decode,
+            # not compile time — the paged engine sees all prompts as ONE batch
+            for pass_name in ("warm", ""):
+                out_root = W / (f"gen_{tag}_warm" if pass_name else f"gen_{tag}")
+                if out_root.exists():
+                    shutil.rmtree(out_root)
+                run([py, REPO / "scripts" / "generate.py",
+                     f"model={step_dir}",
+                     "data=sft/mls-hubert_large_ll60k-layer_22",
+                     "data.test.dataset.source=json",
+                     f"+data.test.dataset.data_files={data_dir / 'test.jsonl'}",
+                     "data.test.dataset.split=train",
+                     "gen.split=test",
+                     f"gen.output_dir={out_root}",
+                     f"batch_size={args.decode_slots}",
+                     f"quantize_weights={quant}",
+                     "observability=true",
+                     ], env, log)
 
     if "score" in phases:
         for tag, _ in gen_variants:
@@ -409,13 +418,15 @@ def main() -> None:
             parity[tag] = json.loads(src.read_text())
             shutil.copy(src, art / f"wer_parity_{tag}.json")
         delta = abs(parity["int8"]["wer"] - parity["bf16"]["wer"])
-        # decode throughput from the generations' observability metrics
+        # steady-state decode throughput: the scored run follows a cache-warming
+        # pass, so its batch metric excludes compile (weight staging remains)
         speeds = {}
         for tag, _ in gen_variants:
             gen = W / f"gen_{tag}" / "json" / "test" / "generations.jsonl"
             rows = [json.loads(line) for line in gen.read_text().splitlines()]
             m = rows[0].get("metrics") or {}
             speeds[tag] = m.get("batch_tokens_per_second")
+        speeds["note"] = "compile-cache-warmed run (second generate pass); includes prefill + weight staging"
         summary = {
             "pipeline": "extend_llama3_2 -> train_sft -> generate(paged) -> wer_parity",
             "hardware": _device_desc(),
