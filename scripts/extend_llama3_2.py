@@ -34,7 +34,7 @@ from ssi_tpu.extend import (
     extend_params,
     extend_tiktoken,
 )
-from ssi_tpu.models.configs import configllama3_2_1b
+from ssi_tpu.models.configs import MODEL_CONFIGS, get_model_config
 from ssi_tpu.tokenizer import setup_llama3_tokenizer
 
 logging.basicConfig(
@@ -58,6 +58,23 @@ def parse_args() -> Namespace:
     )
     parser.add_argument("--output_dir", type=Path, default=None, help="Output directory for the extended files")
     parser.add_argument(
+        "--model-config",
+        default="llama3_2_1b",
+        choices=sorted(MODEL_CONFIGS),
+        help="Architecture registry key for the base checkpoint being extended",
+    )
+    parser.add_argument(
+        "--sigma-scaling",
+        type=float,
+        default=1e-5,
+        help="Covariance scale for the Gaussian the new embedding rows are sampled "
+        "from (default 1e-5, the reference semantics — ref: ssi/extend_llama3_2/"
+        "__init__.py:96. Near-duplicate rows are the right prior when fine-tuning "
+        "a PRETRAINED base; for a random-init base they are a degenerate start — "
+        "all DSU rows collapse to the ~zero mean — so from-scratch pipelines "
+        "should pass 1.0 to draw rows at the base embedding distribution's scale)",
+    )
+    parser.add_argument(
         "--no-modality-tokens",
         action="store_false",
         dest="use_modality_tokens",
@@ -76,7 +93,7 @@ def main(args: Namespace) -> None:
     import jax.numpy as jnp
 
     rng = np.random.default_rng(SEED)
-    llama_cfg = configllama3_2_1b.copy()  # base (unextended) expectations for loading
+    llama_cfg = get_model_config(args.model_config).copy()  # base (unextended) expectations for loading
 
     checkpointer = Checkpointer(
         checkpoint_dir=args.input_dir,
@@ -87,13 +104,16 @@ def main(args: Namespace) -> None:
     # fp32 on host for the Gaussian fit (ref loads fp32: scripts/extend_llama3_2.py:166)
     params = checkpointer.load_params(llama_cfg, dtype=jnp.float32)
 
-    extended_cfg = configllama3_2_1b.copy()
+    extended_cfg = get_model_config(args.model_config).copy()
     extended_cfg.n_dsus = args.n_new_dsus
     extended_cfg.modality_tokens = args.use_modality_tokens
 
     embed = np.asarray(params["embed"])
     params["embed"] = jnp.asarray(
-        extend_embeddings(embed, llama_cfg, args.n_new_dsus, args.use_modality_tokens, rng)
+        extend_embeddings(
+            embed, llama_cfg, args.n_new_dsus, args.use_modality_tokens, rng,
+            sigma_scaling=args.sigma_scaling,
+        )
     )
 
     checkpointer.save_model_checkpoint(

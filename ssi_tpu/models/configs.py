@@ -148,6 +148,30 @@ configllama3_1_8b = ConfigLlama3_2(
     tied_embeddings=False,  # 8B has a separate lm_head (1B/3B tie)
 )
 
+# Pilot-scale member of the Llama-3.2 geometry (NOT a Meta release): same
+# vocab arithmetic / head_dim 64 / GQA / RoPE scaling as the 1B, scaled to
+# ~100M params so it is trainable from random init within a single-chip token
+# budget. tools/wer_drive.py uses it to drive the full extend -> train_sft ->
+# generate -> wer pipeline to a near-zero WER operating point: the pipeline
+# demonstration needs a model that can actually converge on the drive's
+# ~60M-token budget, which a from-scratch 1B cannot (ref context:
+# scripts/wer.py:59-73 scores pretrained checkpoints; offline we must train
+# the checkpoint we score).
+configllama3_2_100m = ConfigLlama3_2(
+    base_vocab_size_txt=128_000,
+    n_special_txt=256,
+    num_layers=8,
+    num_heads=8,
+    num_kv_heads=4,
+    embed_dim=512,
+    max_seq_len=131072,
+    intermediate_dim=2048,
+    attn_dropout=0.0,
+    norm_eps=1e-5,
+    rope_base=500_000,
+    scale_factor=32,
+)
+
 # Tiny architecture for CPU tests and CI smoke runs (not a reference model).
 config_tiny_test = ConfigLlama3_2(
     base_vocab_size_txt=256,
@@ -167,6 +191,7 @@ config_tiny_test = ConfigLlama3_2(
 # Registry keyed by the `model_config` config field; the reference hardcodes the 1B
 # factory (ref: ssi/trainer.py:240) — a registry keeps tests and future models first-class.
 MODEL_CONFIGS: dict[str, ConfigLlama3_2] = {
+    "llama3_2_100m": configllama3_2_100m,
     "llama3_2_1b": configllama3_2_1b,
     "llama3_2_3b": configllama3_2_3b,
     "llama3_1_8b": configllama3_1_8b,
