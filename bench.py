@@ -383,6 +383,32 @@ def _committed_3b_decode() -> dict:
     }
 
 
+def _committed_8b_decode() -> dict:
+    """8B int8 paged-decode feasibility numbers from the committed artifact
+    (bf16 8B weights exceed one v5e chip's HBM; int8 + bf16 embed/lm_head fit).
+    Reproduce live with tools/bench_8b_decode.py; random-weight throughput/fit
+    number — the int8 quality gate is wer_parity on a real checkpoint."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts", "bench_8b_decode.json")
+    try:
+        with open(path) as f:
+            art = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    d = art.get("detail", {})
+    return {
+        "paged_decode_8b": {
+            "source": "artifacts/bench_8b_decode.json (measured on this chip by tools/bench_8b_decode.py; not re-run per bench invocation)",
+            "int8_tok_s": art.get("value"),
+            "resident_weight_gb": d.get("resident_weight_gb"),
+            "slots": d.get("slots"),
+            "bound_tok_s": d.get("bound_tok_s"),
+            "ratio_to_bound": d.get("ratio_to_bound"),
+            "occupancy": d.get("occupancy"),
+            "note": d.get("note"),
+        }
+    }
+
+
 def main() -> None:
     cpt, cpt_step_s, cpt_tokens = _measure(CPT_SHAPE, detail=True)
     sft = _measure(SFT_SHAPE, steps=6)
@@ -442,6 +468,7 @@ def main() -> None:
                     "paged_decode_roofline_bf16": paged_roof,
                     "paged_decode_roofline_int8": paged_int8_roof,
                     **_committed_3b_decode(),
+                    **_committed_8b_decode(),
                 },
             }
         )

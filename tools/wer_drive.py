@@ -321,7 +321,13 @@ def main() -> None:
         help="Architecture registry key (llama3_2_100m converges on this budget; "
         "llama3_2_1b runs the full-scale architecture but cannot from random init)",
     )
-    ap.add_argument("--n-train", type=int, default=12000)
+    # One visit per row: 256k rows / (batch 32 x accum 2) = 4000 steps = ONE
+    # epoch. Measured (this chip, 12k rows x 21 epochs): with repeated rows the
+    # model MEMORIZES utterances instead of learning the codebook — train loss
+    # 2.17 (below the 2.58 speech-blind floor) while dev loss sat AT the floor
+    # (2.61). With every row distinct, utterance memorization cannot reduce
+    # loss and the only descent direction is the DSU->word lookup itself.
+    ap.add_argument("--n-train", type=int, default=256_000)
     ap.add_argument("--n-dev", type=int, default=192)
     ap.add_argument("--n-test", type=int, default=256)
     ap.add_argument("--max-steps", type=int, default=4000)
