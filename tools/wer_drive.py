@@ -308,6 +308,47 @@ def run(cmd: list[str], env: dict, log_to: Path | None = None) -> None:
     LOGGER.info(f"done in {time.time() - t0:.1f}s")
 
 
+def assert_no_truncation(ext_dir: Path, data_dir: Path, max_seq_len: int,
+                         model_overrides: list[str], data_overrides: list[str]) -> None:
+    """Fail fast if any tokenized train row would be truncated at max_seq_len.
+
+    Truncation silently amputates the transcript (the answer sits at the end of
+    the sequence), leaving nothing supervised but headers and unpredictable DSU
+    codes — the drive then trains to the DSU-marginal loss floor and WER never
+    moves. Dataset settings (system prompt, train_on_input, dedup, column_map)
+    are read through the REAL composed config so this guard cannot drift from
+    what scripts/train_sft.py will actually do.
+    """
+    from ssi_tpu.config import compose
+    from ssi_tpu.data.sft import SFTDataset
+    from ssi_tpu.tokenizer import setup_llama3_tokenizer
+
+    cfg = compose(str(REPO / "conf"), "sft",
+                  ["data=sft/mls-hubert_large_ll60k-layer_22", *model_overrides, *data_overrides,
+                   f"tokenizer.max_seq_len={max_seq_len}"])
+    dcfg = cfg.data.train.dataset
+    tok, _ = setup_llama3_tokenizer(ext_dir / "original" / "tokenizer.model",
+                                    max_seq_len=max_seq_len, verbose=False)
+    ds = SFTDataset(
+        model_tokenizer=tok,
+        source="json", data_files=str(data_dir / "train.jsonl"), split="train",
+        deduplicate=bool(dcfg.deduplicate),
+        use_modality_tokens=bool(dcfg.use_modality_tokens),
+        train_on_input=bool(dcfg.train_on_input),
+        column_map=dict(dcfg.column_map) if dcfg.column_map else None,
+        new_system_prompt=dcfg.new_system_prompt,
+        n_samples=300,
+    )
+    n = min(300, len(ds))
+    worst = max(len(ds[i]["tokens"]) for i in range(n))
+    if worst >= max_seq_len:
+        raise RuntimeError(
+            f"tokenized rows hit max_seq_len={max_seq_len} (longest of {n} sampled = {worst}): "
+            "the transcript would be truncated away — raise --max-seq-len"
+        )
+    LOGGER.info(f"truncation guard: longest of {n} sampled rows = {worst} < max_seq_len={max_seq_len}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--workdir", type=Path, default=REPO / ".wer_drive")
@@ -338,8 +379,15 @@ def main() -> None:
     ap.add_argument("--grad-accum", type=int, default=2)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--warmup", type=int, default=200)
-    # max row: 12 speech + template + <=12 text words; 96 leaves 2x headroom
-    ap.add_argument("--max-seq-len", type=int, default=96)
+    # Row budget must include the ~67-token reference system prompt
+    # (conf/data/_sft_base.yaml new_system_prompt — none of its words are in
+    # the task vocabulary, so it tokenizes near byte-level): headers + system
+    # + 10 speech + 10-word transcript ~= 109 tokens, worst case (every word a
+    # 3-token contraction) ~= 129. Round-4/5 drives ran at 96: every row was
+    # TRUNCATED mid-answer, the model never saw one transcript token, and loss
+    # sat exactly at the DSU-marginal floor (2.17 = 10 x 5.41 nats / 25
+    # supervised tokens) — the real cause of the WER 0.63 plateaus.
+    ap.add_argument("--max-seq-len", type=int, default=160)
     ap.add_argument("--decode-slots", type=int, default=48)
     ap.add_argument("--smoke", action="store_true", help="tiny wiring check (few steps, few rows)")
     args = ap.parse_args()
@@ -397,6 +445,7 @@ def main() -> None:
         ]
 
     if "train" in phases:
+        assert_no_truncation(ext_dir, data_dir, args.max_seq_len, model_overrides, data_overrides)
         run([py, REPO / "scripts" / "train_sft.py",
              "data=sft/mls-hubert_large_ll60k-layer_22",
              *model_overrides,
