@@ -176,6 +176,17 @@ def run_generation(cfg: Any) -> Path:
     n = len(dataset)
     request_id = 0
     key = jax.random.key(int(cfg.get("seed", 0)))
+    if observability and engine_kind == "paged" and n > 0:
+        # Observability promises steady-state decode metrics, but the paged
+        # chunk program does not survive the persistent compile cache across
+        # processes — a cold process would fold minutes of XLA/Mosaic compile
+        # into the first batch's wall time. Run two prompts through the engine
+        # once to absorb every compile; outputs are discarded (greedy decode is
+        # deterministic, so the timed pass reproduces them).
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        engine.generate_batch(all_prompts[: min(2, n)], sp, key=sub)
+        LOGGER.info(f"Warmup (compile) pass: {time.perf_counter() - t0:.1f}s")
     # the paged engine schedules internally: hand it the whole request stream
     step = n if (engine_kind == "paged" and n > 0) else batch_size
     with open(gen_output_dir / cfg.gen.output_filename, "x") as f:
