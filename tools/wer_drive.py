@@ -18,17 +18,23 @@ the INPUTS while keeping every pipeline stage real and at real scale:
   original/{tokenizer.model,params.json}). Default architecture is the
   pilot-scale llama3_2_100m (same geometry family: head_dim 64, GQA, RoPE
   scaling, full 128,256-token vocab arithmetic) — a from-random-init model
-  must CONVERGE on the drive's ~60M-token budget for the WER number to
-  certify the pipeline, and a from-scratch 1B cannot (round-4/round-5 runs
-  plateaued at loss ~1.65 / WER 0.63); ``--model-config llama3_2_1b``
-  restores the full-scale architecture;
+  must CONVERGE on the drive's token budget for the WER number to certify
+  the pipeline; ``--model-config llama3_2_1b`` restores the full-scale
+  architecture;
 - a deterministic, *learnable* DSU-ASR corpus: one position-free DSU per
   word (bijective codebook, fixed utterance length, no within-utterance
-  repeats — see build_corpus for why each property is load-bearing for
-  from-scratch convergence; ``deduplicate`` stays lossless); utterances are
-  Zipf-weighted word sequences, transcripts are their text. An SFT run
-  learns the codebook the way MLS SFT learns real ASR (ref task:
+  repeats; ``deduplicate`` stays lossless); 256k DISTINCT rows = one visit
+  per row, so utterance memorization cannot reduce loss (see --n-train).
+  Utterances are Zipf-weighted word sequences, transcripts are their text.
+  An SFT run learns the codebook the way MLS SFT learns real ASR (ref task:
   scripts/train_sft.py on mls-hubert_large_ll60k-layer_22, n_dsus=5000).
+
+Measured result (v5e, 2026-08-21, committed in artifacts/wer_drive/):
+WER 0.0000 in bf16 AND weight-only int8 — all 256 test transcripts exact.
+The earlier 0.63 plateaus were SILENT TRUNCATION (the ~67-token reference
+system prompt overflowed max_seq_len=96 and amputated every answer), caught
+by comparing loss against the task's closed-form speech-blind floor; a
+pre-train guard (assert_no_truncation) now makes that failure impossible.
 
 Every stage runs through the REAL CLIs (scripts/extend_llama3_2.py,
 scripts/train_sft.py, scripts/generate.py, scripts/wer_parity.py) with
@@ -244,13 +250,14 @@ def build_corpus(data_dir: Path, n_dsus: int, n_train: int, n_dev: int, n_test: 
       must emit word i — alignment is a single fixed-offset attention hop,
       no counting or induction circuit required.
 
-    Measured context (rounds 4-5, this chip): a per-word DSU *trigram* with
-    variable 12-40-word utterances plateaus at loss ~1.65-1.75 / WER 0.63 at
-    100M AND 1B — the 3-way joint lookup plus content-matching alignment is
-    an optimization wall for random-init models, not a token-budget problem.
-    Each simplification here removes one of those bootstrapping obstacles
-    while every pipeline stage (extend -> SFT -> paged decode -> WER) stays
-    real and at real vocab scale.
+    History note: the round-4/5 plateaus (loss ~1.65-2.2 / WER 0.63) that
+    motivated successive simplifications turned out to be silent row
+    truncation (see assert_no_truncation), not task difficulty — with the
+    guard in place this corpus trains to WER 0.00 from random init. The
+    simplifications are kept: they make the task's blind-floor arithmetic
+    closed-form (one token per word), which is what exposed the truncation.
+    Every pipeline stage (extend -> SFT -> paged decode -> WER) stays real
+    and at real vocab scale.
     """
     import numpy as np
 
